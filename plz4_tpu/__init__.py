@@ -1,0 +1,14 @@
+"""plz4_tpu — TPU-native parallel LZ4 Frame codec (JAX/XLA/Pallas).
+
+A from-scratch framework with the capabilities of prequel-dev/plz4: parallel
+LZ4 Frame encode/decode with independent and linked blocks, levels 1-12,
+block/content xxHash-32 checksums, dictionaries, skippable frames, frame
+concatenation, random read access, a raw block API, and a CLI — with the hot
+block codec running as batched, sharded JAX computations on TPU and a native
+C++ host codec for the serial/sync paths.
+"""
+
+from . import errors  # noqa: F401
+from .errors import is_corrupted  # noqa: F401
+
+__version__ = "0.1.0"

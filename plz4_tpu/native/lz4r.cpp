@@ -1,0 +1,619 @@
+// lz4r.cpp — from-scratch LZ4 block codec + xxHash-32 for the TPU-native
+// plz4 framework's host path (oracle, sync mode, and frame machinery).
+//
+// Implements the LZ4 block format (spec: lz4_Block_format; see also the
+// vendored frame spec docs) with:
+//   * greedy hash-table compressor          (levels 1, reference analog:
+//     clz4.CompressFast -> LZ4_compress_fast, lz4.c:930)
+//   * chain-match lazy compressor           (levels 2-12, reference analog:
+//     clz4.CompressHC -> LZ4HC_compress_generic, lz4hc.c:1374)
+//   * safe decompressor with external-dict support (reference analog:
+//     clz4.DecompressSafe[WithDict], lz4.c:2016)
+//   * xxHash-32 one-shot + streaming        (reference analog: xxh32 pkg)
+//
+// This file is written from the public LZ4 format specification; it is NOT
+// a copy of the upstream lz4 sources. Window layout: callers may provide a
+// dictionary that is contiguous *immediately before* src (compress) — the
+// Python layer arranges that copy — or as a detached buffer (decompress).
+//
+// All functions are exported with C linkage for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#define LZ4R_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+constexpr int MINMATCH = 4;
+constexpr int MFLIMIT = 12;       // last match must start >= 12 bytes from end
+constexpr int LASTLITERALS = 5;   // last 5 bytes are always literals
+constexpr uint32_t MAX_DISTANCE = 65535;
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint16_t read16(const uint8_t* p) {
+    uint16_t v;
+    std::memcpy(&v, p, 2);
+    return v;
+}
+
+inline void write16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+
+inline uint32_t hash4(uint32_t v, int hashlog) {
+    return (v * 2654435761u) >> (32 - hashlog);
+}
+
+// Count matching bytes between [pa, limit) and pb (pb behind pa).
+inline int count_match(const uint8_t* pa, const uint8_t* pb, const uint8_t* limit) {
+    const uint8_t* const start = pa;
+    while (pa + 8 <= limit) {
+        uint64_t va, vb;
+        std::memcpy(&va, pa, 8);
+        std::memcpy(&vb, pb, 8);
+        uint64_t diff = va ^ vb;
+        if (diff) return (int)(pa - start) + (__builtin_ctzll(diff) >> 3);
+        pa += 8;
+        pb += 8;
+    }
+    while (pa < limit && *pa == *pb) {
+        ++pa;
+        ++pb;
+    }
+    return (int)(pa - start);
+}
+
+// Emit one sequence; returns new op or nullptr on dst overflow.
+inline uint8_t* emit_sequence(uint8_t* op, uint8_t* const oend,
+                              const uint8_t* anchor, int lit_len,
+                              uint32_t offset, int match_len /* full, >=4 */) {
+    // worst case bytes: token + litlen ext + literals + 2 + mlen ext
+    size_t worst = 1 + (size_t)lit_len / 255 + 1 + (size_t)lit_len + 2 +
+                   (size_t)(match_len - MINMATCH) / 255 + 1;
+    if ((size_t)(oend - op) < worst) return nullptr;
+    uint8_t* token = op++;
+    if (lit_len >= 15) {
+        *token = 15 << 4;
+        int rem = lit_len - 15;
+        while (rem >= 255) {
+            *op++ = 255;
+            rem -= 255;
+        }
+        *op++ = (uint8_t)rem;
+    } else {
+        *token = (uint8_t)(lit_len << 4);
+    }
+    std::memcpy(op, anchor, lit_len);
+    op += lit_len;
+    write16(op, (uint16_t)offset);
+    op += 2;
+    int mval = match_len - MINMATCH;
+    if (mval >= 15) {
+        *token |= 15;
+        int rem = mval - 15;
+        while (rem >= 255) {
+            *op++ = 255;
+            rem -= 255;
+        }
+        *op++ = (uint8_t)rem;
+    } else {
+        *token |= (uint8_t)mval;
+    }
+    return op;
+}
+
+inline uint8_t* emit_last_literals(uint8_t* op, uint8_t* const oend,
+                                   const uint8_t* anchor, int lit_len) {
+    size_t worst = 1 + (size_t)lit_len / 255 + 1 + (size_t)lit_len;
+    if ((size_t)(oend - op) < worst) return nullptr;
+    uint8_t* token = op++;
+    if (lit_len >= 15) {
+        *token = 15 << 4;
+        int rem = lit_len - 15;
+        while (rem >= 255) {
+            *op++ = 255;
+            rem -= 255;
+        }
+        *op++ = (uint8_t)rem;
+    } else {
+        *token = (uint8_t)(lit_len << 4);
+    }
+    std::memcpy(op, anchor, lit_len);
+    op += lit_len;
+    return op;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy (level 1) compressor.
+// wbase <= src: bytes [wbase, src) are dictionary content contiguous in
+// memory. Emits only for positions >= src. Returns compressed size, or 0 if
+// output would exceed dst_cap (incompressible signal), or -1 on bad args.
+// ---------------------------------------------------------------------------
+int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
+                    uint8_t* dst, int dst_cap, int accel) {
+    if (src_size < 0 || dst_cap <= 0) return -1;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    const uint8_t* ip = src;
+    const uint8_t* anchor = src;
+    const uint8_t* const iend = src + src_size;
+    const uint8_t* const mflimit = iend - MFLIMIT;
+    const uint8_t* const matchlimit = iend - LASTLITERALS;
+
+    if (src_size == 0) {
+        // a valid LZ4 block cannot be empty per frame usage; emit empty token
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
+
+    const int hashlog = 16;
+    std::vector<uint32_t> tab((size_t)1 << hashlog, 0);
+
+    if (src_size >= MFLIMIT + 1) {
+        if (accel < 1) accel = 1;
+        const int skip_strength = 6;
+        // preload dictionary positions into the hash table (reference analog:
+        // LZ4_loadDict semantics — window extends into [wbase, src))
+        for (const uint8_t* dp = wbase; dp < src; ++dp) {
+            tab[hash4(read32(dp), hashlog)] = (uint32_t)(dp - wbase);
+        }
+        // seed first position
+        tab[hash4(read32(ip), hashlog)] = (uint32_t)(ip - wbase);
+        ++ip;
+
+        for (;;) {
+            // --- search for a match, accelerating step on failures ---
+            uint32_t search_nb = (uint32_t)accel << skip_strength;
+            const uint8_t* match;
+            for (;;) {
+                if (ip > mflimit) goto last_literals;
+                uint32_t h = hash4(read32(ip), hashlog);
+                match = wbase + tab[h];
+                tab[h] = (uint32_t)(ip - wbase);
+                if (match < ip && (uint32_t)(ip - match) <= MAX_DISTANCE &&
+                    read32(match) == read32(ip))
+                    break;
+                ip += search_nb++ >> skip_strength;
+            }
+            // --- extend match backwards over pending literals ---
+            while (ip > anchor && match > wbase && ip[-1] == match[-1]) {
+                --ip;
+                --match;
+            }
+            {
+                int mlen = MINMATCH + count_match(ip + MINMATCH, match + MINMATCH,
+                                                 matchlimit);
+                uint32_t offset = (uint32_t)(ip - match);
+                op = emit_sequence(op, oend, anchor, (int)(ip - anchor), offset,
+                                   mlen);
+                if (!op) return 0;
+                ip += mlen;
+                anchor = ip;
+            }
+            if (ip > mflimit) goto last_literals;
+            // seed intermediate position for better future matches
+            tab[hash4(read32(ip - 2), hashlog)] = (uint32_t)(ip - 2 - wbase);
+        }
+    }
+
+last_literals:
+    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
+    if (!op) return 0;
+    return (int)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// HC: hash-chain match finder with lazy matching (levels 2-12).
+// ---------------------------------------------------------------------------
+struct ChainFinder {
+    const uint8_t* wbase;
+    int hashlog;
+    std::vector<uint32_t> head;   // last position+1 for hash, 0 = empty
+    std::vector<uint32_t> chain;  // prev position+1 keyed by pos & 0xFFFF
+    uint32_t next_insert;         // next position (rel wbase) to insert
+
+    ChainFinder(const uint8_t* wb, size_t total)
+        : wbase(wb),
+          hashlog(15),
+          head((size_t)1 << 15, 0),
+          chain(1 << 16, 0),
+          next_insert(0) {
+        (void)total;
+    }
+
+    void insert_upto(const uint8_t* p) {
+        uint32_t target = (uint32_t)(p - wbase);
+        while (next_insert < target) {
+            uint32_t h = hash4(read32(wbase + next_insert), hashlog);
+            chain[next_insert & 0xFFFF] = head[h];
+            head[h] = next_insert + 1;
+            ++next_insert;
+        }
+    }
+
+    // Longest match for position ip; returns length (0 if < MINMATCH) and
+    // sets *mpos. Prefers longer; on ties the later candidate in chain order
+    // (nearer offset) is kept only if strictly longer.
+    int find(const uint8_t* ip, const uint8_t* matchlimit, int nb_attempts,
+             const uint8_t** mpos) {
+        insert_upto(ip);
+        uint32_t pos = (uint32_t)(ip - wbase);
+        uint32_t h = hash4(read32(ip), hashlog);
+        uint32_t cand = head[h];
+        int best = 0;
+        uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
+        while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
+            const uint8_t* mp = wbase + (cand - 1);
+            if (mp[best] == ip[best]) {  // fast reject using best-so-far byte
+                int len = count_match(ip, mp, matchlimit);
+                if (len > best) {
+                    best = len;
+                    *mpos = mp;
+                }
+            }
+            cand = chain[(cand - 1) & 0xFFFF];
+        }
+        return best >= MINMATCH ? best : 0;
+    }
+};
+
+int hc_attempts_for_level(int level) {
+    switch (level) {
+        case 2: return 4;
+        case 3: return 8;
+        case 4: return 16;
+        case 5: return 32;
+        case 6: return 64;
+        case 7: return 128;
+        case 8: return 256;
+        case 9: return 512;
+        case 10: return 1024;
+        case 11: return 4096;
+        default: return 65536;  // 12+
+    }
+}
+
+int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
+                uint8_t* dst, int dst_cap, int level) {
+    if (src_size < 0 || dst_cap <= 0) return -1;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    const uint8_t* ip = src;
+    const uint8_t* anchor = src;
+    const uint8_t* const iend = src + src_size;
+    const uint8_t* const mflimit = iend - MFLIMIT;
+    const uint8_t* const matchlimit = iend - LASTLITERALS;
+    const int attempts = hc_attempts_for_level(level);
+
+    if (src_size == 0) {
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
+
+    if (src_size >= MFLIMIT + 1) {
+        ChainFinder cf(wbase, (size_t)(iend - wbase));
+        cf.next_insert = (uint32_t)(src - wbase) > 0 ? 0 : 0;
+        // preload dictionary into chains
+        if (src > wbase) cf.insert_upto(src);
+
+        while (ip <= mflimit) {
+            const uint8_t* match = nullptr;
+            int mlen = cf.find(ip, matchlimit, attempts, &match);
+            if (mlen == 0) {
+                ++ip;
+                continue;
+            }
+            // lazy matching: would starting one byte later be better?
+            while (ip + 1 <= mflimit) {
+                const uint8_t* match2 = nullptr;
+                int mlen2 = cf.find(ip + 1, matchlimit, attempts, &match2);
+                if (mlen2 > mlen + 1) {  // better enough to defer
+                    ++ip;
+                    match = match2;
+                    mlen = mlen2;
+                } else {
+                    break;
+                }
+            }
+            // backward extension
+            while (ip > anchor && match > wbase && ip[-1] == match[-1]) {
+                --ip;
+                --match;
+                ++mlen;
+            }
+            uint32_t offset = (uint32_t)(ip - match);
+            op = emit_sequence(op, oend, anchor, (int)(ip - anchor), offset, mlen);
+            if (!op) return 0;
+            ip += mlen;
+            anchor = ip;
+        }
+    }
+
+    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
+    if (!op) return 0;
+    return (int)(op - dst);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Public C API
+// ---------------------------------------------------------------------------
+
+LZ4R_API int lz4r_compress_bound(int src_size) {
+    if (src_size < 0) return 0;
+    return src_size + src_size / 255 + 16;
+}
+
+// dict (may be null) must be the window content; it is copied so that it sits
+// contiguously before src in a scratch buffer when present.
+LZ4R_API int lz4r_compress(const uint8_t* src, int src_size, uint8_t* dst,
+                           int dst_cap, int level, const uint8_t* dict,
+                           int dict_size) {
+    if (dict_size > 65536) {  // window is the last 64 KiB only
+        dict += dict_size - 65536;
+        dict_size = 65536;
+    }
+    if (dict && dict_size > 0) {
+        std::vector<uint8_t> scratch((size_t)dict_size + (size_t)src_size);
+        std::memcpy(scratch.data(), dict, dict_size);
+        std::memcpy(scratch.data() + dict_size, src, src_size);
+        const uint8_t* wbase = scratch.data();
+        const uint8_t* s = scratch.data() + dict_size;
+        return level <= 1 ? compress_greedy(wbase, s, src_size, dst, dst_cap, 1)
+                          : compress_hc(wbase, s, src_size, dst, dst_cap, level);
+    }
+    return level <= 1 ? compress_greedy(src, src, src_size, dst, dst_cap, 1)
+                      : compress_hc(src, src, src_size, dst, dst_cap, level);
+}
+
+// Safe decompress with optional detached dictionary. Returns decompressed
+// size, or -1 on corrupt input / overflow.
+LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
+                             int dst_cap, const uint8_t* dict, int dict_size) {
+    if (src_size < 0 || dst_cap < 0) return -1;
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + src_size;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    if (dict_size > 65536) {
+        dict += dict_size - 65536;
+        dict_size = 65536;
+    }
+
+    if (src_size == 0) return -1;
+
+    for (;;) {
+        if (ip >= iend) return -1;
+        uint32_t token = *ip++;
+        // --- literals ---
+        uint32_t lit_len = token >> 4;
+        if (lit_len == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit_len += b;
+                if (lit_len > (uint32_t)0x7FFFFFFF) return -1;
+            } while (b == 255);
+        }
+        if ((size_t)(iend - ip) < lit_len) return -1;
+        if ((size_t)(oend - op) < lit_len) return -1;
+        std::memcpy(op, ip, lit_len);
+        ip += lit_len;
+        op += lit_len;
+        if (ip == iend) break;  // last sequence: literals only
+        // --- match ---
+        if (iend - ip < 2) return -1;
+        uint32_t offset = read16(ip);
+        ip += 2;
+        if (offset == 0) return -1;
+        uint32_t mlen = token & 15;
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+                if (mlen > (uint32_t)0x7FFFFFFF) return -1;
+            } while (b == 255);
+        }
+        mlen += MINMATCH;
+        if ((size_t)(oend - op) < mlen) return -1;
+
+        size_t out_so_far = (size_t)(op - dst);
+        if (offset > out_so_far) {
+            // reaches into the external dictionary
+            size_t into_dict = offset - out_so_far;
+            if (dict == nullptr || into_dict > (size_t)dict_size) return -1;
+            const uint8_t* dp = dict + dict_size - into_dict;
+            size_t n1 = mlen < into_dict ? mlen : into_dict;
+            std::memcpy(op, dp, n1);
+            op += n1;
+            mlen -= (uint32_t)n1;
+            if (mlen) {
+                // continues at start of the output buffer (overlap-safe)
+                const uint8_t* mp = dst;
+                while (mlen--) *op++ = *mp++;
+            }
+        } else {
+            const uint8_t* mp = op - offset;
+            if (offset >= mlen) {
+                std::memcpy(op, mp, mlen);
+                op += mlen;
+            } else {
+                while (mlen--) *op++ = *mp++;  // overlapping copy
+            }
+        }
+    }
+    return (int)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// xxHash-32
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                   P4 = 668265263u, P5 = 374761393u;
+
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+inline uint32_t xxh_round(uint32_t acc, uint32_t lane) {
+    return rotl32(acc + lane * P2, 13) * P1;
+}
+
+inline uint32_t xxh_avalanche(uint32_t h) {
+    h ^= h >> 15;
+    h *= P2;
+    h ^= h >> 13;
+    h *= P3;
+    h ^= h >> 16;
+    return h;
+}
+
+inline uint32_t xxh_finalize(uint32_t h, const uint8_t* p, size_t len) {
+    while (len >= 4) {
+        h = rotl32(h + read32(p) * P3, 17) * P4;
+        p += 4;
+        len -= 4;
+    }
+    while (len--) {
+        h = rotl32(h + (*p++) * P5, 11) * P1;
+    }
+    return xxh_avalanche(h);
+}
+}  // namespace
+
+LZ4R_API uint32_t lz4r_xxh32(const uint8_t* data, size_t len, uint32_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* const end = data + len;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t a1 = seed + P1 + P2, a2 = seed + P2, a3 = seed, a4 = seed - P1;
+        const uint8_t* const limit = end - 16;
+        do {
+            a1 = xxh_round(a1, read32(p));
+            a2 = xxh_round(a2, read32(p + 4));
+            a3 = xxh_round(a3, read32(p + 8));
+            a4 = xxh_round(a4, read32(p + 12));
+            p += 16;
+        } while (p <= limit);
+        h = rotl32(a1, 1) + rotl32(a2, 7) + rotl32(a3, 12) + rotl32(a4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    return xxh_finalize(h, p, (size_t)(end - p));
+}
+
+struct Lz4rXxh32State {
+    uint32_t acc[4];
+    uint8_t buf[16];
+    uint32_t buf_len;
+    uint64_t total;
+    uint32_t seed;
+};
+
+LZ4R_API Lz4rXxh32State* lz4r_xxh32_create(uint32_t seed) {
+    auto* s = new Lz4rXxh32State();
+    s->acc[0] = seed + P1 + P2;
+    s->acc[1] = seed + P2;
+    s->acc[2] = seed;
+    s->acc[3] = seed - P1;
+    s->buf_len = 0;
+    s->total = 0;
+    s->seed = seed;
+    return s;
+}
+
+LZ4R_API void lz4r_xxh32_reset(Lz4rXxh32State* s) {
+    uint32_t seed = s->seed;
+    s->acc[0] = seed + P1 + P2;
+    s->acc[1] = seed + P2;
+    s->acc[2] = seed;
+    s->acc[3] = seed - P1;
+    s->buf_len = 0;
+    s->total = 0;
+}
+
+LZ4R_API void lz4r_xxh32_update(Lz4rXxh32State* s, const uint8_t* data,
+                                size_t len) {
+    s->total += len;
+    if (s->buf_len) {
+        uint32_t need = 16 - s->buf_len;
+        uint32_t take = len < need ? (uint32_t)len : need;
+        std::memcpy(s->buf + s->buf_len, data, take);
+        s->buf_len += take;
+        data += take;
+        len -= take;
+        if (s->buf_len < 16) return;
+        s->acc[0] = xxh_round(s->acc[0], read32(s->buf));
+        s->acc[1] = xxh_round(s->acc[1], read32(s->buf + 4));
+        s->acc[2] = xxh_round(s->acc[2], read32(s->buf + 8));
+        s->acc[3] = xxh_round(s->acc[3], read32(s->buf + 12));
+        s->buf_len = 0;
+    }
+    while (len >= 16) {
+        s->acc[0] = xxh_round(s->acc[0], read32(data));
+        s->acc[1] = xxh_round(s->acc[1], read32(data + 4));
+        s->acc[2] = xxh_round(s->acc[2], read32(data + 8));
+        s->acc[3] = xxh_round(s->acc[3], read32(data + 12));
+        data += 16;
+        len -= 16;
+    }
+    if (len) {
+        std::memcpy(s->buf, data, len);
+        s->buf_len = (uint32_t)len;
+    }
+}
+
+LZ4R_API uint32_t lz4r_xxh32_digest(const Lz4rXxh32State* s) {
+    uint32_t h;
+    if (s->total >= 16) {
+        h = rotl32(s->acc[0], 1) + rotl32(s->acc[1], 7) + rotl32(s->acc[2], 12) +
+            rotl32(s->acc[3], 18);
+    } else {
+        h = s->seed + P5;
+    }
+    h += (uint32_t)s->total;
+    return xxh_finalize(h, s->buf, s->buf_len);
+}
+
+LZ4R_API void lz4r_xxh32_free(Lz4rXxh32State* s) { delete s; }
+
+// ---------------------------------------------------------------------------
+// Batched block APIs — host-parallel fan-out lives in Python threads; these
+// entry points release the GIL naturally (pure C, no Python).
+// ---------------------------------------------------------------------------
+
+LZ4R_API void lz4r_compress_batch(const uint8_t* src, const int64_t* offsets,
+                                  const int32_t* sizes, int n_blocks,
+                                  uint8_t* dst, const int64_t* dst_offsets,
+                                  int32_t dst_cap_each, int32_t* out_sizes,
+                                  int level) {
+    for (int i = 0; i < n_blocks; ++i) {
+        out_sizes[i] = lz4r_compress(src + offsets[i], sizes[i],
+                                     dst + dst_offsets[i], dst_cap_each, level,
+                                     nullptr, 0);
+    }
+}
+
+LZ4R_API void lz4r_decompress_batch(const uint8_t* src, const int64_t* offsets,
+                                    const int32_t* sizes, int n_blocks,
+                                    uint8_t* dst, const int64_t* dst_offsets,
+                                    int32_t dst_cap_each, int32_t* out_sizes) {
+    for (int i = 0; i < n_blocks; ++i) {
+        out_sizes[i] = lz4r_decompress(src + offsets[i], sizes[i],
+                                       dst + dst_offsets[i], dst_cap_each,
+                                       nullptr, 0);
+    }
+}

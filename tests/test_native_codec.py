@@ -1,0 +1,134 @@
+"""Native C++ block codec: round-trips, levels, dictionaries, corruption.
+
+Reference test analog: internal/test/block_test.go (raw block API round-trips
+and cross-implementation interop).
+"""
+
+import numpy as np
+import pytest
+
+from plz4_tpu import errors as zerr
+from plz4_tpu import native
+
+from conftest import make_compressible, make_incompressible
+
+LEVELS = [1, 2, 4, 6, 9, 12]
+
+
+@pytest.mark.parametrize("level", LEVELS)
+@pytest.mark.parametrize("size", [0, 1, 5, 12, 13, 64, 1000, 65536, 1 << 18])
+def test_roundtrip_text(level, size):
+    data = make_compressible(size, seed=size + level)
+    comp = native.compress(data, level=level)
+    assert native.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("level", [1, 6, 12])
+def test_roundtrip_random(level):
+    data = make_incompressible(4096)
+    comp = native.compress(data, level=level)
+    assert native.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("level", [1, 6, 12])
+def test_roundtrip_zeros(level):
+    data = b"\x00" * 100_000
+    comp = native.compress(data, level=level)
+    assert len(comp) < 1000  # RLE-style data compresses hard
+    assert native.decompress(comp, len(data)) == data
+
+
+def test_higher_levels_do_not_hurt():
+    data = make_compressible(1 << 18)
+    sizes = [len(native.compress(data, level=lv)) for lv in (1, 6, 12)]
+    assert sizes[1] <= sizes[0]
+    assert sizes[2] <= sizes[1]
+
+
+def test_compress_into_cap_too_small_returns_none():
+    data = make_incompressible(4096)
+    assert native.compress_into(data, dst_cap=100, level=1) is None
+
+
+def test_compress_bound():
+    for n in (0, 1, 100, 65536):
+        data = make_incompressible(n, seed=n)
+        comp = native.compress(data, level=1)
+        assert len(comp) <= native.compress_bound(n)
+
+
+@pytest.mark.parametrize("level", [1, 6, 12])
+def test_dictionary_roundtrip(level):
+    dict_ = make_compressible(8192, seed=1)
+    # payload shares structure with the dictionary -> better ratio
+    data = dict_[100:2100] + b"tail bytes " * 20
+    comp_nodict = native.compress(data, level=level)
+    comp_dict = native.compress(data, level=level, dict_=dict_)
+    assert native.decompress(comp_dict, len(data), dict_=dict_) == data
+    assert len(comp_dict) <= len(comp_nodict)
+
+
+def test_dictionary_wrong_dict_fails_or_differs():
+    dict_ = make_incompressible(4096, seed=2)
+    data = dict_[-2000:]  # only the dict window can supply matches
+    comp = native.compress(data, level=1, dict_=dict_)
+    assert len(comp) < len(data)  # dict must actually have been referenced
+    wrong = make_incompressible(4096, seed=3)
+    try:
+        out = native.decompress(comp, len(data), dict_=wrong)
+        assert out != data
+    except zerr.Lz4Error:
+        pass
+
+
+def test_dictionary_truncated_to_64k():
+    dict_ = make_compressible(100_000, seed=4)
+    data = dict_[-5000:]
+    comp = native.compress(data, level=1, dict_=dict_)
+    # only the last 64 KiB is the window; decode with the same truncation rule
+    assert native.decompress(comp, len(data), dict_=dict_) == data
+
+
+def test_decompress_corrupted():
+    data = make_compressible(10000)
+    comp = bytearray(native.compress(data, level=1))
+    bad = 0
+    for i in range(0, len(comp), 7):
+        mutated = bytearray(comp)
+        mutated[i] ^= 0xFF
+        try:
+            out = native.decompress(bytes(mutated), len(data))
+            if out != data:
+                bad += 1
+        except zerr.Lz4Error:
+            bad += 1
+    assert bad > 0  # most corruptions must be detected or change output
+
+
+def test_decompress_truncated():
+    data = make_compressible(10000)
+    comp = native.compress(data, level=1)
+    for cut in range(0, len(comp), 11):
+        try:
+            out = native.decompress(comp[:cut], len(data))
+            assert out != data or cut == len(comp)
+        except zerr.Lz4Error:
+            pass
+
+
+def test_decompress_overflow_guard():
+    data = make_compressible(10000)
+    comp = native.compress(data, level=1)
+    with pytest.raises(zerr.Lz4Error):
+        native.decompress(comp, len(data) - 1)  # dst too small must error
+
+
+def test_empty_block():
+    comp = native.compress(b"", level=1)
+    assert native.decompress(comp, 0) == b""
+
+
+def test_incompressible_detection():
+    # With cap below input size, random data must signal incompressible
+    data = make_incompressible(65536)
+    assert native.compress_into(data, dst_cap=len(data) - 1, level=1) is None
