@@ -9,6 +9,23 @@ C++ host codec for the serial/sync paths.
 """
 
 from . import errors  # noqa: F401
+from .api import (  # noqa: F401
+    Reader,
+    Writer,
+    compress,
+    compress_block,
+    compress_block_bound,
+    decompress,
+    decompress_block,
+    write_skip_frame_header,
+)
 from .errors import is_corrupted  # noqa: F401
+from .frame.descriptor import (  # noqa: F401
+    BLOCK_IDX_64KB,
+    BLOCK_IDX_256KB,
+    BLOCK_IDX_1MB,
+    BLOCK_IDX_4MB,
+)
+from .opts import Options  # noqa: F401
 
 __version__ = "0.1.0"

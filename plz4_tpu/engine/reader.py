@@ -1,0 +1,322 @@
+"""Frame reader engine.
+
+Reference analogs: rdr/rdr.go (header/body state machine, concatenated
+frames, read-offset random access), sync/reader.go and async/reader.go
+(block pipelines). The Go pipeline maps to:
+
+  * native backend: a read-ahead dispatch loop that keeps up to the pending
+    budget of blocks in flight on a thread pool (the dispatch goroutine +
+    semaphore analog, async/reader.go:104-185), consumed in order.
+  * device backend: stored blocks gathered into fixed-shape batches and
+    decoded by the vectorized JAX kernel (plz4_tpu.ops.decode_jax).
+
+Linked frames are decoded serially with a rolling 64 KiB window
+(reference: rdr/rdr.go:338-341 forces NParallel=1; compress/dict.go:171-184
+maintains the window). Content checksums verify at each EndMark; the reader
+then transparently continues into concatenated frames.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+from .. import errors as zerr
+from .. import native
+from ..frame import block_io, header as hdr
+from ..opts import WINDOW_SIZE, Options
+
+
+def _decompress_job(stored: bytes, uncompressed: bool, cap: int,
+                    dict_: bytes | None):
+    if uncompressed:
+        return stored
+    return native.decompress(stored, cap, dict_=dict_)
+
+
+class FrameReader:
+    """Streaming LZ4 frame reader with the reference's full semantics."""
+
+    def __init__(self, src, opts: Options | None = None, **kw) -> None:
+        self._o = opts if opts is not None else Options(**kw)
+        self._src = src
+        self._closed = False
+        self._err: BaseException | None = None
+        self._eof = False
+        self._buf = memoryview(b"")
+        self._parallel = self._o.resolved_parallel()
+        self._budget = self._o.pending_budget()
+        self._pool: ThreadPoolExecutor | None = None
+        self._src_pos = 0                # compressed bytes consumed
+        self._dst_pos = 0                # decompressed bytes produced
+        self._first_frame = True
+        self._use_device = self._o.backend == "device"
+        # per-frame state
+        self._hdr: hdr.FrameHeader | None = None
+        self._blk_rdr: block_io.FrameBlockReader | None = None
+        self._dispatch_done = True       # stored-block stream exhausted
+        self._pending: deque = deque()   # in-flight decompress futures
+        self._device_queue: deque = deque()
+        self._hasher: native.Xxh32Stream | None = None
+        self._window = bytearray()
+        self._frame_dict: bytes | None = None
+        self._frame_decoded = 0
+        self._check_content = True
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def read(self, n: int = -1) -> bytes:
+        self._check_readable()
+        try:
+            if n is None or n < 0:
+                chunks = [bytes(self._buf)] if self._buf else []
+                self._buf = memoryview(b"")
+                while True:
+                    b = self._next_chunk()
+                    if not b:
+                        return b"".join(chunks)
+                    chunks.append(b)
+            out = bytearray()
+            while len(out) < n:
+                if not self._buf:
+                    b = self._next_chunk()
+                    if not b:
+                        break
+                    self._buf = memoryview(b)
+                take = min(n - len(out), len(self._buf))
+                out += self._buf[:take]
+                self._buf = self._buf[take:]
+            return bytes(out)
+        except BaseException as e:
+            self._latch(e)
+            raise
+
+    def write_to(self, wr) -> int:
+        """io.WriterTo analog: stream everything into `wr`."""
+        self._check_readable()
+        total = 0
+        try:
+            if self._buf:
+                wr.write(bytes(self._buf))
+                total += len(self._buf)
+                self._buf = memoryview(b"")
+            while True:
+                b = self._next_chunk()
+                if not b:
+                    return total
+                wr.write(b)
+                total += len(b)
+        except BaseException as e:
+            self._latch(e)
+            raise
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._shutdown_pool()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        self.close()
+        return False
+
+    @property
+    def positions(self) -> tuple[int, int]:
+        """(compressed consumed, decompressed produced)."""
+        return self._src_pos, self._dst_pos
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _check_readable(self) -> None:
+        if self._closed:
+            raise zerr.ErrClosed
+        if self._err is not None:
+            raise self._err
+
+    def _latch(self, e: BaseException) -> None:
+        if self._err is None:
+            self._err = e
+
+    def _next_chunk(self) -> bytes:
+        """Next decoded block across frames (b'' at end of the stream)."""
+        while True:
+            if self._eof:
+                return b""
+            if self._hdr is None:
+                if not self._begin_frame():
+                    self._eof = True
+                    return b""
+            out = self._next_block_decoded()
+            if out is None:
+                self._finish_frame()
+                continue
+            if len(out) == 0:
+                continue
+            if self._hasher is not None:
+                self._hasher.update(out)
+            self._frame_decoded += len(out)
+            self._dst_pos += len(out)
+            if self._o.progress is not None:
+                self._o.progress(self._src_pos, self._dst_pos)
+            return out
+
+    # ---- frame lifecycle ---------------------------------------------
+    def _begin_frame(self) -> bool:
+        h = hdr.read_header(self._src, skip_callback=self._o.skip_callback)
+        if h is None:
+            return False
+        self._hdr = h
+        self._src_pos += h.size
+        self._check_content = True
+        self._frame_decoded = 0
+        self._dispatch_done = False
+
+        # resolve frame dictionary (reference: rdr/rdr.go:254-259)
+        d = self._o.dictionary
+        if h.dict_id is not None and self._o.dict_callback is not None:
+            cb = self._o.dict_callback(h.dict_id)
+            if cb is not None:
+                d = cb
+        if d is not None and len(d) > WINDOW_SIZE:
+            d = d[-WINDOW_SIZE:]
+        self._frame_dict = d
+        self._window = bytearray(d or b"")
+
+        # random access (first frame only; reference: rdr/rdr.go:264-285)
+        if self._first_frame and self._o.read_offset is not None:
+            off = self._o.read_offset
+            if not h.block_independent:
+                raise zerr.ErrReadOffsetLinked
+            if off < h.size:
+                raise zerr.ErrReadOffset
+            self._seek_to(off)
+            self._check_content = False  # partial read: no content checks
+        self._first_frame = False
+
+        self._hasher = (native.Xxh32Stream()
+                        if (h.content_checksum and self._check_content)
+                        else None)
+        self._blk_rdr = block_io.FrameBlockReader(
+            self._src, h, hash_fn=native.xxh32)
+        return True
+
+    def _seek_to(self, off: int) -> None:
+        skip = off - self._hdr.size
+        seek = getattr(self._src, "seek", None)
+        if seek is not None:
+            try:
+                seek(skip, 1)
+                self._src_pos = off
+                return
+            except (OSError, ValueError):
+                pass
+        remaining = skip
+        while remaining > 0:
+            b = self._src.read(min(remaining, 1 << 20))
+            if not b:
+                raise zerr.ErrReadOffset
+            remaining -= len(b)
+        self._src_pos = off
+
+    def _finish_frame(self) -> None:
+        h = self._hdr
+        if self._check_content:
+            if self._hasher is not None:
+                want = self._blk_rdr.content_checksum
+                if want is not None and self._hasher.digest() != want:
+                    raise zerr.ErrContentHash
+            if (self._o.content_size_check and h.content_size is not None
+                    and self._frame_decoded != h.content_size):
+                raise zerr.ErrContentSize
+        self._hdr = None
+        self._blk_rdr = None
+        self._hasher = None
+
+    # ---- block pipeline ----------------------------------------------
+    def _read_stored(self):
+        """Next stored block; None once the EndMark is consumed."""
+        if self._dispatch_done:
+            return None
+        blk = self._blk_rdr.next_block()
+        if blk is None:
+            self._src_pos += 4
+            if self._hdr.content_checksum:
+                self._src_pos += 4
+            self._dispatch_done = True
+            return None
+        self._src_pos += blk.src_size
+        return blk
+
+    def _next_block_decoded(self) -> bytes | None:
+        h = self._hdr
+        serial = (not h.block_independent) or self._parallel == 0
+        if serial:
+            return self._decode_serial()
+        if self._use_device:
+            return self._decode_device()
+        return self._decode_threaded()
+
+    def _decode_serial(self) -> bytes | None:
+        blk = self._read_stored()
+        if blk is None:
+            return None
+        h = self._hdr
+        if not h.block_independent:
+            d = bytes(self._window) if self._window else None
+            out = _decompress_job(blk.data, blk.uncompressed, h.block_size, d)
+            self._window += out
+            if len(self._window) > WINDOW_SIZE:
+                del self._window[: len(self._window) - WINDOW_SIZE]
+            return out
+        return _decompress_job(
+            blk.data, blk.uncompressed, h.block_size, self._frame_dict)
+
+    def _decode_threaded(self) -> bytes | None:
+        h = self._hdr
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._parallel,
+                thread_name_prefix="plz4-decompress")
+        while len(self._pending) < self._budget and not self._dispatch_done:
+            blk = self._read_stored()
+            if blk is None:
+                break
+            fut = self._pool.submit(
+                _decompress_job, blk.data, blk.uncompressed, h.block_size,
+                self._frame_dict)
+            self._pending.append(fut)
+        if not self._pending:
+            return None
+        return self._pending.popleft().result()
+
+    def _decode_device(self) -> bytes | None:
+        h = self._hdr
+        if self._device_queue:
+            return self._device_queue.popleft()
+        batch = []
+        limit = max(1, self._budget)
+        while len(batch) < limit and not self._dispatch_done:
+            blk = self._read_stored()
+            if blk is None:
+                break
+            batch.append(blk)
+        if not batch:
+            return None
+        from ..parallel import batch as dev_batch
+        outs = dev_batch.decode_blocks(
+            [(b.data, b.uncompressed) for b in batch], h.block_size,
+            dict_=self._frame_dict)
+        self._device_queue.extend(outs)
+        return self._device_queue.popleft()
+
+    def _shutdown_pool(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+        self._pending.clear()
+        self._device_queue.clear()

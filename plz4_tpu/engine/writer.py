@@ -1,0 +1,299 @@
+"""Frame writer engine.
+
+Reference analogs: sync/writer.go (parallel == 0), async/writer.go
+(parallel > 0). The Go goroutine pipeline maps to:
+
+  * native backend: a thread pool compressing blocks (the C codec releases
+    the GIL, so fan-out is real), an ordered pending deque bounded by the
+    pending budget (the reference's semChan backpressure semaphore,
+    async/writer.go:439-448), and in-order emission by the caller thread
+    (the writeLoop reorder analog, async/writer.go:284-381).
+  * device backend: blocks staged into fixed-shape batches and encoded by
+    the vectorized JAX kernel (plz4_tpu.ops.encode_jax), sharded across
+    chips by plz4_tpu.parallel when a mesh is configured.
+
+Linked-block mode snapshots the trailing 64 KiB window *before* dispatch so
+compression itself stays parallel (reference: _genDict,
+async/writer.go:412-437). Content checksums stream through the native
+xxh32 in staging order (reference: AsyncHashIdx, async/hash.go:58-111).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+from .. import errors as zerr
+from .. import native
+from ..frame import block_io, header as hdr, trailer
+from ..opts import WINDOW_SIZE, Options
+
+
+def _compress_job(src: bytes, dict_: bytes | None, level: int):
+    """Compress one block; fall back to raw when not strictly smaller
+    (reference: incompressible fallback, blk/blk.go:75-92)."""
+    if len(src) == 0:
+        return b"", True
+    cap = len(src) - 1 if len(src) > 1 else 1
+    out = native.compress_into(src, cap, level=level, dict_=dict_)
+    if out is None:
+        return src, True
+    return out, False
+
+
+class FrameWriter:
+    """Streaming LZ4 frame writer with the reference's full semantics."""
+
+    def __init__(self, dst, opts: Options | None = None, **kw) -> None:
+        self._o = opts if opts is not None else Options(**kw)
+        self._dst = dst
+        self._closed = False
+        self._err: BaseException | None = None
+        self._header_written = False
+        self._stage = bytearray()
+        self._src_total = 0      # bytes accepted from caller
+        self._src_emitted = 0    # source bytes whose blocks are written
+        self._dst_pos = 0
+        self._hasher = (native.Xxh32Stream()
+                        if self._o.content_checksum else None)
+        self._parallel = self._o.resolved_parallel()
+        self._budget = self._o.pending_budget()
+        self._pool: ThreadPoolExecutor | None = None
+        self._pending: deque = deque()  # (future, src_len)
+        # rolling window for linked mode; constant dict for independent mode
+        self._window = bytearray(self._o.dictionary or b"")
+        self._use_device = self._o.backend == "device"
+        self._device_stage: list[bytes] = []
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def write(self, data) -> int:
+        self._check_writable()
+        try:
+            return self._write(data)
+        except BaseException as e:
+            self._latch(e)
+            raise
+
+    def read_from(self, rd, chunk_size: int = 1 << 20) -> int:
+        """io.ReaderFrom analog: drain `rd` into the frame."""
+        self._check_writable()
+        total = 0
+        try:
+            while True:
+                chunk = rd.read(chunk_size)
+                if not chunk:
+                    return total
+                total += self._write(chunk)
+        except BaseException as e:
+            self._latch(e)
+            raise
+
+    def flush(self) -> None:
+        """Emit any partial block and wait until all pending blocks are
+        written (reference: Flush barrier, async/writer.go:109-133)."""
+        self._check_writable()
+        try:
+            self._flush_stage()
+            self._drain(wait_all=True)
+        except BaseException as e:
+            self._latch(e)
+            raise
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._err is not None:
+            self._closed = True
+            self._shutdown_pool()
+            return
+        try:
+            self._ensure_header()
+            self._flush_stage()
+            self._drain(wait_all=True)
+            if (self._o.content_size is not None
+                    and self._src_total != self._o.content_size):
+                raise zerr.ErrContentSize
+            content_hash = self._hasher.digest() if self._hasher else None
+            self._write_out(trailer.write_trailer(content_hash))
+        except BaseException as e:
+            self._latch(e)
+            raise
+        finally:
+            self._closed = True
+            self._shutdown_pool()
+
+    def write_skip_frame(self, nibble: int, payload: bytes) -> None:
+        """Emit a whole skippable frame; only legal before frame data
+        (reference: WriteSkipFrameHeader, plz4_writer.go:60-62)."""
+        self._check_writable()
+        if self._header_written:
+            raise zerr.ErrSkip
+        self._write_out(hdr.write_skip_header(nibble, len(payload)))
+        self._write_out(payload)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+        else:
+            self._closed = True
+            self._shutdown_pool()
+        return False
+
+    @property
+    def dst_position(self) -> int:
+        return self._dst_pos
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _check_writable(self) -> None:
+        if self._closed:
+            raise zerr.ErrClosed
+        if self._err is not None:
+            raise self._err
+
+    def _latch(self, e: BaseException) -> None:
+        if self._err is None and not isinstance(e, type(zerr.ErrClosed)):
+            self._err = e
+        elif self._err is None:
+            self._err = e
+
+    def _write(self, data) -> int:
+        mv = memoryview(data)
+        consumed = 0
+        bs = self._o.block_size
+        while consumed < len(mv):
+            if not self._stage and len(mv) - consumed >= bs:
+                # full block straight from the caller's buffer
+                # (reference: large-write no-copy path, sync/writer.go:96-107)
+                self._submit_block(bytes(mv[consumed:consumed + bs]))
+                consumed += bs
+            else:
+                take = min(bs - len(self._stage), len(mv) - consumed)
+                self._stage += mv[consumed:consumed + take]
+                consumed += take
+                if len(self._stage) == bs:
+                    self._submit_block(bytes(self._stage))
+                    self._stage.clear()
+        self._src_total += consumed
+        return consumed
+
+    def _ensure_header(self) -> None:
+        if self._header_written:
+            return
+        raw = hdr.write_header(
+            block_size_idx=self._o.block_size_idx,
+            block_linked=self._o.block_linked,
+            block_checksum=self._o.block_checksum,
+            content_checksum=self._o.content_checksum,
+            content_size=self._o.content_size,
+            dict_id=self._o.dict_id,
+        )
+        self._write_out(raw)
+        self._header_written = True
+
+    def _current_dict(self) -> bytes | None:
+        if self._o.block_linked:
+            return bytes(self._window) if self._window else None
+        return self._o.dictionary
+
+    def _advance_window(self, src: bytes) -> None:
+        if not self._o.block_linked:
+            return
+        self._window += src
+        if len(self._window) > WINDOW_SIZE:
+            del self._window[: len(self._window) - WINDOW_SIZE]
+
+    def _submit_block(self, src: bytes) -> None:
+        self._ensure_header()
+        if self._hasher is not None:
+            self._hasher.update(src)
+        d = self._current_dict()
+        self._advance_window(src)
+
+        if self._use_device and d is None and not self._o.block_linked:
+            self._device_stage.append(src)
+            if len(self._device_stage) >= self._device_batch_size():
+                self._run_device_batch()
+            return
+
+        if self._parallel == 0:
+            stored, raw = _compress_job(src, d, self._o.level)
+            self._emit(stored, raw, len(src))
+            return
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._parallel,
+                thread_name_prefix="plz4-compress")
+        fut = self._pool.submit(_compress_job, src, d, self._o.level)
+        self._pending.append((fut, len(src)))
+        self._drain(wait_all=False)
+        while len(self._pending) >= self._budget:
+            self._drain_one()
+
+    def _device_batch_size(self) -> int:
+        if self._o.device_batch > 0:
+            return self._o.device_batch
+        from ..frame import descriptor as desc
+        return {
+            desc.BLOCK_IDX_64KB: 128,
+            desc.BLOCK_IDX_256KB: 32,
+            desc.BLOCK_IDX_1MB: 8,
+            desc.BLOCK_IDX_4MB: 2,
+        }[self._o.block_size_idx]
+
+    def _run_device_batch(self) -> None:
+        if not self._device_stage:
+            return
+        from ..parallel import batch as dev_batch
+        blocks = self._device_stage
+        self._device_stage = []
+        results = dev_batch.encode_blocks(blocks, self._o.block_size)
+        for src, (stored, raw) in zip(blocks, results):
+            self._emit(stored, raw, len(src))
+
+    def _drain_one(self) -> None:
+        fut, src_len = self._pending.popleft()
+        stored, raw = fut.result()
+        self._emit(stored, raw, src_len)
+
+    def _drain(self, wait_all: bool) -> None:
+        while self._pending:
+            fut, _ = self._pending[0]
+            if not wait_all and not fut.done():
+                return
+            self._drain_one()
+        if wait_all:
+            self._run_device_batch()
+
+    def _flush_stage(self) -> None:
+        self._ensure_header()
+        if self._stage:
+            self._submit_block(bytes(self._stage))
+            self._stage.clear()
+
+    def _emit(self, stored: bytes, uncompressed: bool, src_len: int) -> None:
+        wire = block_io.frame_block(
+            stored, uncompressed, self._o.block_checksum,
+            hash_fn=native.xxh32)
+        self._write_out(wire)
+        self._src_emitted += src_len
+        if self._o.progress is not None:
+            self._o.progress(self._src_emitted, self._dst_pos)
+
+    def _write_out(self, b: bytes) -> None:
+        self._dst.write(b)
+        self._dst_pos += len(b)
+
+    def _shutdown_pool(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+            self._pool = None
+        self._pending.clear()
+        self._device_stage = []

@@ -31,10 +31,11 @@ class FrameBlockReader:
     trailing content hash if the header declared one.
     """
 
-    def __init__(self, rd, header: FrameHeader) -> None:
+    def __init__(self, rd, header: FrameHeader, hash_fn=xxh32) -> None:
         self._rd = rd
         self._hdr = header
         self._max = header.block_size
+        self._hash_fn = hash_fn
         self.content_checksum: Optional[int] = None
         self._done = False
 
@@ -59,17 +60,19 @@ class FrameBlockReader:
             raw = _read_exact(self._rd, 4, zerr.ErrUnexpectedEOF)
             consumed += 4
             want = int.from_bytes(raw, "little")
-            if xxh32(data) != want:
+            if self._hash_fn(data) != want:
                 raise zerr.ErrBlockHash
         return FrameBlock(data=data, uncompressed=uncompressed, src_size=consumed)
 
 
-def frame_block(data: bytes, uncompressed: bool, block_checksum: bool) -> bytes:
+def frame_block(data: bytes, uncompressed: bool, block_checksum: bool,
+                hash_fn=xxh32) -> bytes:
     """Wire form of one stored block: size word + payload + optional xxh32.
 
     Reference: blk.CompressToBlk framing tail (blk/blk.go:94-106).
+    hash_fn lets the engine substitute the native xxh32 hot path.
     """
     out = desc.make_size_word(len(data), uncompressed) + data
     if block_checksum:
-        out += xxh32(data).to_bytes(4, "little")
+        out += hash_fn(data).to_bytes(4, "little")
     return out

@@ -1,0 +1,126 @@
+"""Host<->device block batching for the JAX codec.
+
+Pads ragged blocks into fixed-shape (B, N) batches (bucketed to powers of
+two to bound recompilation), dispatches the vectorized encode/decode
+kernels — sharded over the active mesh when one is set — and compacts the
+ragged results back out (the reference's CompressBound-buffer + size-word
+scheme, blk/blk.go:69-106, reborn as static-shape SPMD batches).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import errors as zerr
+from ..ops import decode_jax, encode_jax
+from . import mesh as mesh_mod
+
+EMPTY_BLOCK = b"\x00"  # 1-byte literals-only token: decodes to b""
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(max(1, n))))
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "dict_cap"))
+def _decode_batch_dict(comp, clens, dlens, dict_buf, out_cap, dict_cap):
+    fn = functools.partial(decode_jax.decode_block,
+                           out_cap=out_cap, dict_cap=dict_cap)
+    return jax.vmap(fn, in_axes=(0, 0, None, None))(
+        comp, clens, dict_buf, dlens)
+
+
+def _shard_args(mesh, *arrays):
+    if mesh is None:
+        return arrays
+    sh = mesh_mod.batch_sharding(mesh)
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def encode_blocks(blocks: list[bytes], block_size: int):
+    """Encode a list of raw blocks on device.
+
+    Returns [(stored_bytes, uncompressed_flag)] in order, applying the
+    incompressible-fallback contract per block.
+    """
+    if not blocks:
+        return []
+    mesh = mesh_mod.active_mesh()
+    B = mesh_mod.pad_batch_for_mesh(_pow2(len(blocks)), mesh)
+    N = block_size
+    arr = np.zeros((B, N), dtype=np.uint8)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, blk in enumerate(blocks):
+        if len(blk) > N:
+            raise zerr.ErrSrcSize
+        arr[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+        lens[i] = len(blk)
+    a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
+    out, totals, compressible = encode_jax.encode_batch(a, l)
+    out = np.asarray(jax.device_get(out))
+    totals = np.asarray(totals)
+    compressible = np.asarray(compressible)
+    results = []
+    for i, blk in enumerate(blocks):
+        if len(blk) == 0:
+            results.append((b"", True))
+        elif bool(compressible[i]) and int(totals[i]) < len(blk):
+            results.append((out[i, : int(totals[i])].tobytes(), False))
+        else:
+            results.append((blk, True))
+    return results
+
+
+def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
+                  dict_: bytes | None = None) -> list[bytes]:
+    """Decode a list of (stored_bytes, uncompressed_flag) blocks on device.
+
+    Uncompressed blocks pass through (reference: async/reader.go:149-163
+    routes them around the workers).
+    """
+    if not stored:
+        return []
+    comp_idx = [i for i, (_, unc) in enumerate(stored) if not unc]
+    results: list[bytes | None] = [
+        data if unc else None for (data, unc) in stored]
+    if not comp_idx:
+        return results  # type: ignore[return-value]
+
+    mesh = mesh_mod.active_mesh()
+    B = mesh_mod.pad_batch_for_mesh(_pow2(len(comp_idx)), mesh)
+    C = block_size + 16
+    arr = np.zeros((B, C), dtype=np.uint8)
+    clens = np.ones((B,), dtype=np.int32)
+    arr[:, 0] = EMPTY_BLOCK[0]
+    for j, i in enumerate(comp_idx):
+        data = stored[i][0]
+        if len(data) > block_size:
+            raise zerr.ErrBlockSizeOverflow
+        arr[j, : len(data)] = np.frombuffer(data, dtype=np.uint8)
+        clens[j] = len(data)
+
+    if dict_:
+        D = _pow2(max(16, len(dict_)))
+        dbuf = np.zeros((D,), dtype=np.uint8)
+        dbuf[D - len(dict_):] = np.frombuffer(dict_, dtype=np.uint8)
+        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
+        out, n_out, ok = _decode_batch_dict(
+            a, l, jnp.int32(len(dict_)), jnp.asarray(dbuf),
+            out_cap=block_size, dict_cap=D)
+    else:
+        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
+        out, n_out, ok = decode_jax.decode_batch(a, l, out_cap=block_size)
+
+    out = np.asarray(jax.device_get(out))
+    n_out = np.asarray(n_out)
+    ok = np.asarray(ok)
+    for j, i in enumerate(comp_idx):
+        if not bool(ok[j]):
+            raise zerr.ErrDecompress
+        results[i] = out[j, : int(n_out[j])].tobytes()
+    return results  # type: ignore[return-value]
