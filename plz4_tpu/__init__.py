@@ -29,3 +29,16 @@ from .frame.descriptor import (  # noqa: F401
 from .opts import Options  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "/tmp/plz4_tpu_jax_cache") -> None:
+    """Enable JAX's persistent compilation cache for the codec kernels.
+
+    The device encode/decode graphs are large; caching makes process
+    startup fast after the first run. Safe to call multiple times.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -206,8 +206,8 @@ def decode_block(
         ptr = jnp.concatenate([jnp.arange(D, dtype=I32), ptr_out])
     else:
         ptr = ptr_out
-    for _ in range(_ceil_log2(D + N)):
-        ptr = jnp.take(ptr, ptr)
+    ptr = jax.lax.fori_loop(
+        0, _ceil_log2(D + N), lambda _, p: jnp.take(p, p), ptr)
     final = ptr[D:]
 
     # gather bytes: literals from comp, dict bytes from dict_

@@ -94,36 +94,42 @@ def _find_matches(b: jnp.ndarray, n: jnp.ndarray):
     # verified 4-byte match requires the full word before mlimit
     good0 = good0 & (idx + 4 <= mlimit)
 
-    ml = jnp.where(good0, 4, 0)
-    active = good0
-    for _ in range(WORD_STEPS):
+    def word_step(_, carry):
+        ml, active = carry
         room = idx + ml + 4 <= mlimit
         eq = _take(u32, idx + ml) == _take(u32, cand + ml)
         adv = active & room & eq
-        ml = ml + jnp.where(adv, 4, 0)
-        active = active & room & eq
-    tail = good0
-    for _ in range(3):
+        return ml + jnp.where(adv, 4, 0), active & room & eq
+
+    def byte_step(_, carry):
+        ml, active = carry
         room = idx + ml < mlimit
         eq = _take(b, idx + ml) == _take(b, cand + ml)
-        adv = tail & room & eq
-        ml = ml + jnp.where(adv, 1, 0)
-        tail = tail & room & eq
+        adv = active & room & eq
+        return ml + jnp.where(adv, 1, 0), active & room & eq
+
+    ml = jnp.where(good0, 4, 0)
+    ml, _ = jax.lax.fori_loop(0, WORD_STEPS, word_step, (ml, good0))
+    ml, _ = jax.lax.fori_loop(0, 3, byte_step, (ml, good0))
     off = jnp.where(good0, dist, 0)
 
-    # periodic runs: exact unbounded lengths for small offsets
-    for d in PERIODS:
-        if d >= N:
-            continue
-        e = jnp.concatenate(
-            [jnp.zeros((d,), dtype=jnp.bool_), b[d:] == b[:-d]])
-        not_e_idx = jnp.where(~e, idx, N)
-        nf = jax.lax.cummin(not_e_idx, reverse=True)  # next mismatch >= i
-        run = jnp.clip(nf - idx, 0, jnp.maximum(mlimit - idx, 0))
-        ok_d = (idx >= d) & (run >= 4)
-        better = ok_d & (run > ml)
-        ml = jnp.where(better, run, ml)
-        off = jnp.where(better, d, off)
+    # periodic runs: exact unbounded lengths for small offsets (vmapped
+    # next-mismatch reverse scans over all periods at once)
+    periods = np.array([d for d in PERIODS if d < N], dtype=np.int32)
+    if periods.size:
+        def period_run(d):
+            e = jnp.take(b, idx - d, mode="fill", fill_value=-1) == b
+            not_e_idx = jnp.where(~e, idx, N)
+            nf = jax.lax.cummin(not_e_idx, reverse=True)  # next mismatch >= i
+            run = jnp.clip(nf - idx, 0, jnp.maximum(mlimit - idx, 0))
+            return jnp.where((idx >= d) & (run >= 4), run, 0)
+
+        runs = jax.vmap(period_run)(jnp.asarray(periods))  # (P, N)
+        best_p = jnp.argmax(runs, axis=0)
+        best_run = jnp.take_along_axis(runs, best_p[None, :], axis=0)[0]
+        better = best_run > ml
+        ml = jnp.where(better, best_run, ml)
+        off = jnp.where(better, jnp.asarray(periods)[best_p], off)
 
     good = (ml >= 4) & (idx <= n - 12) & (idx < n)
     ml = jnp.where(good, ml, 0)

@@ -1,0 +1,181 @@
+"""CLI and sparse-writer tests (reference: cmd/plz4 ops + pkg/sparse)."""
+
+import io
+import os
+
+import pytest
+
+import plz4_tpu as plz4
+from plz4_tpu import cli
+from plz4_tpu.sparse import SparseWriter
+
+from conftest import make_compressible
+
+
+@pytest.fixture
+def payload_file(tmp_path):
+    p = tmp_path / "data.bin"
+    p.write_bytes(make_compressible(200_000, seed=8))
+    return p
+
+
+def test_cli_compress_decompress(payload_file, tmp_path):
+    src = str(payload_file)
+    assert cli.main(["compress", src, "-q"]) == 0
+    assert os.path.exists(src + ".lz4")
+    out = tmp_path / "restored.bin"
+    assert cli.main(["decompress", src + ".lz4", "-o", str(out), "-q", "-f"]) == 0
+    assert out.read_bytes() == payload_file.read_bytes()
+
+
+def test_cli_flags(payload_file, tmp_path):
+    src = str(payload_file)
+    dst = str(tmp_path / "o.lz4")
+    assert cli.main([
+        "compress", src, "-o", dst, "-q", "-l", "6", "--bs", "64KB",
+        "--bx", "--cs", "-f",
+    ]) == 0
+    restored = tmp_path / "r.bin"
+    assert cli.main(["decompress", dst, "-o", str(restored), "-q"]) == 0
+    assert restored.read_bytes() == payload_file.read_bytes()
+
+
+def test_cli_overwrite_guard(payload_file, tmp_path):
+    src = str(payload_file)
+    dst = str(tmp_path / "o.lz4")
+    assert cli.main(["compress", src, "-o", dst, "-q"]) == 0
+    with pytest.raises(SystemExit):
+        cli.main(["compress", src, "-o", dst, "-q"])
+
+
+def test_cli_verify(payload_file, tmp_path, capsys):
+    src = str(payload_file)
+    dst = str(tmp_path / "o.lz4")
+    assert cli.main(["compress", src, "-o", dst, "-q", "--cs"]) == 0
+    assert cli.main(["verify", dst]) == 0
+    out = capsys.readouterr().out
+    assert "OK: 200000 bytes" in out
+    assert "content size:      200000" in out
+
+
+def test_cli_verify_corrupted(payload_file, tmp_path):
+    src = str(payload_file)
+    dst = tmp_path / "o.lz4"
+    assert cli.main(["compress", src, "-o", str(dst), "-q"]) == 0
+    raw = bytearray(dst.read_bytes())
+    raw[40] ^= 0xFF
+    bad = tmp_path / "bad.lz4"
+    bad.write_bytes(bytes(raw))
+    assert cli.main(["verify", str(bad)]) == 1
+
+
+def test_cli_verify_header_only(payload_file, tmp_path, capsys):
+    src = str(payload_file)
+    dst = str(tmp_path / "o.lz4")
+    assert cli.main(["compress", src, "-o", dst, "-q", "--bd",
+                     "--bs", "64KB"]) == 0
+    assert cli.main(["verify", dst, "-s"]) == 0
+    out = capsys.readouterr().out
+    assert "block independent: False" in out
+
+
+def test_cli_linked_roundtrip(payload_file, tmp_path):
+    src = str(payload_file)
+    dst = str(tmp_path / "o.lz4")
+    assert cli.main(["compress", src, "-o", dst, "-q", "--bd",
+                     "--bs", "64KB"]) == 0
+    restored = tmp_path / "r.bin"
+    assert cli.main(["decompress", dst, "-o", str(restored), "-q"]) == 0
+    assert restored.read_bytes() == payload_file.read_bytes()
+
+
+def test_cli_dict(tmp_path):
+    dict_bytes = make_compressible(5000, seed=99)
+    data = dict_bytes[:3000]
+    (tmp_path / "dict").write_bytes(dict_bytes)
+    (tmp_path / "in").write_bytes(data)
+    assert cli.main(["--dict", str(tmp_path / "dict"),
+                     "compress", str(tmp_path / "in"), "-q"]) == 0
+    assert cli.main(["--dict", str(tmp_path / "dict"),
+                     "decompress", str(tmp_path / "in.lz4"),
+                     "-o", str(tmp_path / "out"), "-q"]) == 0
+    assert (tmp_path / "out").read_bytes() == data
+
+
+def test_cli_bakeoff(payload_file, capsys):
+    assert cli.main(["bakeoff", str(payload_file)]) == 0
+    out = capsys.readouterr().out
+    assert "native" in out and "ratio" in out
+
+
+def test_block_size_parse():
+    assert cli._parse_block_size("4") == 4
+    assert cli._parse_block_size("64KB") == 4
+    assert cli._parse_block_size("256KB") == 5
+    assert cli._parse_block_size("1MB") == 6
+    assert cli._parse_block_size("4MB") == 7
+
+
+# --- sparse writer ---------------------------------------------------------
+
+
+class SeekTracker(io.BytesIO):
+    """Records seeks so tests can assert hole placement (reference analog:
+    preallocWriter fake, sparse/sparse_test.go:18-43)."""
+
+    def __init__(self):
+        super().__init__()
+        self.seeks = []
+
+    def seek(self, off, whence=0):
+        self.seeks.append((off, whence))
+        return super().seek(off, whence)
+
+
+def test_sparse_basic_holes():
+    f = SeekTracker()
+    w = SparseWriter(f)
+    data = b"head" + b"\x00" * 8192 + b"tail"
+    w.write(data)
+    w.close()
+    assert f.seeks  # a hole was seeked over
+    assert f.getvalue() == data  # BytesIO zero-fills holes
+
+
+def test_sparse_trailing_hole_commit():
+    f = SeekTracker()
+    w = SparseWriter(f)
+    data = b"x" * 4096 + b"\x00" * 16384
+    w.write(data)
+    w.close()
+    assert f.getvalue() == data
+    # trailing hole committed via seek + 1-byte write
+    assert f.seeks[-1] == (16384 - 1, 1)
+
+
+def test_sparse_all_zero():
+    f = SeekTracker()
+    w = SparseWriter(f)
+    w.write(b"\x00" * 100_000)
+    w.close()
+    assert f.getvalue() == b"\x00" * 100_000
+
+
+def test_sparse_unaligned_chunks():
+    f = SeekTracker()
+    w = SparseWriter(f)
+    data = (b"a" * 1000 + b"\x00" * 5000 + b"b" * 3000 + b"\x00" * 4096
+            + b"c")
+    for i in range(0, len(data), 777):
+        w.write(data[i : i + 777])
+    w.close()
+    assert f.getvalue() == data
+
+
+def test_sparse_decompress_cli(tmp_path):
+    data = b"begin" + b"\x00" * 100_000 + b"end"
+    (tmp_path / "in").write_bytes(data)
+    assert cli.main(["compress", str(tmp_path / "in"), "-q"]) == 0
+    assert cli.main(["decompress", str(tmp_path / "in.lz4"),
+                     "-o", str(tmp_path / "out"), "-q", "-s"]) == 0
+    assert (tmp_path / "out").read_bytes() == data
