@@ -129,6 +129,13 @@ class FrameReader:
         """(compressed consumed, decompressed produced)."""
         return self._src_pos, self._dst_pos
 
+    def __del__(self):  # best-effort: abandoned readers must not leak threads
+        try:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
@@ -278,15 +285,19 @@ class FrameReader:
 
     def _decode_threaded(self) -> bytes | None:
         h = self._hdr
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(
-                max_workers=self._parallel,
-                thread_name_prefix="plz4-decompress")
+        if self._o.worker_pool is not None:
+            submit = self._o.worker_pool.submit
+        else:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self._parallel,
+                    thread_name_prefix="plz4-decompress")
+            submit = self._pool.submit
         while len(self._pending) < self._budget and not self._dispatch_done:
             blk = self._read_stored()
             if blk is None:
                 break
-            fut = self._pool.submit(
+            fut = submit(
                 _decompress_job, blk.data, blk.uncompressed, h.block_size,
                 self._frame_dict)
             self._pending.append(fut)

@@ -20,6 +20,8 @@ xxh32 in staging order (reference: AsyncHashIdx, async/hash.go:58-111).
 
 from __future__ import annotations
 
+import queue
+import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
@@ -27,6 +29,44 @@ from .. import errors as zerr
 from .. import native
 from ..frame import block_io, header as hdr, trailer
 from ..opts import WINDOW_SIZE, Options
+
+
+class _HashWorker:
+    """Serial xxh32 accumulator on a dedicated thread, fed in block order —
+    overlaps the order-dependent content hash with parallel compression
+    (reference: AsyncHashIdx, async/hash.go:58-111)."""
+
+    def __init__(self) -> None:
+        self._q: queue.Queue = queue.Queue(maxsize=64)
+        self._stream = native.Xxh32Stream()
+        self._thread: threading.Thread | None = None
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            self._stream.update(item)
+
+    def update(self, data: bytes) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="plz4-hash")
+            self._thread.start()
+        self._q.put(data)
+
+    def digest(self) -> int:
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+        return self._stream.digest()
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
 
 
 def _compress_job(src: bytes, dict_: bytes | None, level: int):
@@ -54,8 +94,7 @@ class FrameWriter:
         self._src_total = 0      # bytes accepted from caller
         self._src_emitted = 0    # source bytes whose blocks are written
         self._dst_pos = 0
-        self._hasher = (native.Xxh32Stream()
-                        if self._o.content_checksum else None)
+        self._hasher = _HashWorker() if self._o.content_checksum else None
         self._parallel = self._o.resolved_parallel()
         self._budget = self._o.pending_budget()
         self._pool: ThreadPoolExecutor | None = None
@@ -63,7 +102,7 @@ class FrameWriter:
         # rolling window for linked mode; constant dict for independent mode
         self._window = bytearray(self._o.dictionary or b"")
         self._use_device = self._o.backend == "device"
-        self._device_stage: list[bytes] = []
+        self._device_stage: list = []  # (src, window) tuples
 
     # ------------------------------------------------------------------
     # public API
@@ -148,6 +187,15 @@ class FrameWriter:
     def dst_position(self) -> int:
         return self._dst_pos
 
+    def __del__(self):  # best-effort: abandoned writers must not leak threads
+        try:
+            if self._pool is not None:
+                self._pool.shutdown(wait=False, cancel_futures=True)
+            if self._hasher is not None:
+                self._hasher.stop()
+        except Exception:
+            pass
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
@@ -216,8 +264,10 @@ class FrameWriter:
         d = self._current_dict()
         self._advance_window(src)
 
-        if self._use_device and d is None and not self._o.block_linked:
-            self._device_stage.append(src)
+        if self._use_device:
+            # windows were snapshotted above, so linked/dict blocks still
+            # batch and encode in parallel on device
+            self._device_stage.append((src, d))
             if len(self._device_stage) >= self._device_batch_size():
                 self._run_device_batch()
             return
@@ -227,6 +277,15 @@ class FrameWriter:
             self._emit(stored, raw, len(src))
             return
 
+        if self._o.worker_pool is not None:
+            # shared pool (reference: WithWorkerPool, plz4_opts.go:107-111)
+            fut = self._o.worker_pool.submit(
+                _compress_job, src, d, self._o.level)
+            self._pending.append((fut, len(src)))
+            self._drain(wait_all=False)
+            while len(self._pending) >= self._budget:
+                self._drain_one()
+            return
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
                 max_workers=self._parallel,
@@ -252,9 +311,13 @@ class FrameWriter:
         if not self._device_stage:
             return
         from ..parallel import batch as dev_batch
-        blocks = self._device_stage
+        staged = self._device_stage
         self._device_stage = []
-        results = dev_batch.encode_blocks(blocks, self._o.block_size)
+        blocks = [s for s, _ in staged]
+        dicts = [d for _, d in staged]
+        results = dev_batch.encode_blocks(
+            blocks, self._o.block_size, level=self._o.level,
+            dicts=dicts if any(d for d in dicts) else None)
         for src, (stored, raw) in zip(blocks, results):
             self._emit(stored, raw, len(src))
 
@@ -295,5 +358,7 @@ class FrameWriter:
         if self._pool is not None:
             self._pool.shutdown(wait=True, cancel_futures=True)
             self._pool = None
+        if self._hasher is not None:
+            self._hasher.stop()
         self._pending.clear()
         self._device_stage = []

@@ -42,9 +42,13 @@ def _shard_args(mesh, *arrays):
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
-def encode_blocks(blocks: list[bytes], block_size: int):
+def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
+                  dicts: list[bytes | None] | None = None):
     """Encode a list of raw blocks on device.
 
+    dicts, when given, supplies a per-block window (linked mode / user
+    dictionary) — blocks still encode in parallel because windows were
+    snapshotted before dispatch (reference: async/writer.go:412-437).
     Returns [(stored_bytes, uncompressed_flag)] in order, applying the
     incompressible-fallback contract per block.
     """
@@ -60,8 +64,25 @@ def encode_blocks(blocks: list[bytes], block_size: int):
             raise zerr.ErrSrcSize
         arr[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
         lens[i] = len(blk)
-    a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
-    out, totals, compressible = encode_jax.encode_batch(a, l)
+
+    use_dicts = dicts is not None and any(d for d in dicts)
+    if use_dicts:
+        D = 65536
+        darr = np.zeros((B, D), dtype=np.uint8)
+        dlens = np.zeros((B,), dtype=np.int32)
+        for i, d in enumerate(dicts):
+            if d:
+                d = d[-D:]
+                darr[i, D - len(d):] = np.frombuffer(d, dtype=np.uint8)
+                dlens[i] = len(d)
+        a, l, da, dl = _shard_args(
+            mesh, jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(darr),
+            jnp.asarray(dlens))
+        out, totals, compressible = encode_jax.encode_batch_dict(
+            a, l, da, dl, level=level)
+    else:
+        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
+        out, totals, compressible = encode_jax.encode_batch(a, l, level=level)
     out = np.asarray(jax.device_get(out))
     totals = np.asarray(totals)
     compressible = np.asarray(compressible)

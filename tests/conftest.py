@@ -7,7 +7,10 @@ instead — this env only applies to pytest).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the environment presets
+# JAX_PLATFORMS=axon for the real chip; tests must not depend on the TPU
+# tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

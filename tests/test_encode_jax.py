@@ -106,3 +106,63 @@ def test_encode_batch():
         assert bool(compressible[i])
         comp = out[i, : int(totals[i])].tobytes()
         assert native.decompress(comp, len(blk)) == blk
+
+
+# --- dictionary / linked window support ------------------------------------
+
+
+def test_device_encode_with_dict():
+    from conftest import make_incompressible
+    dict_ = make_incompressible(4096, seed=31)
+    data = dict_[-2000:] + b"tail" * 50
+    comp = encode_jax.encode_block_host(data, dict_=dict_)
+    assert comp is not None
+    assert native.decompress(comp, len(data), dict_=dict_) == data
+    # dict must improve ratio vs no dict
+    comp_nd = encode_jax.encode_block_host(data)
+    if comp_nd is not None:
+        assert len(comp) < len(comp_nd)
+
+
+def test_device_encode_dict_device_decode():
+    from plz4_tpu.ops import decode_jax as dj
+    from conftest import make_incompressible
+    dict_ = make_incompressible(8192, seed=32)
+    data = dict_[-3000:]
+    comp = encode_jax.encode_block_host(data, dict_=dict_)
+    out = dj.decode_block_host(comp, out_cap=len(data), dict_=dict_)
+    assert out == data
+
+
+def test_device_encode_hc_levels_ratio():
+    data = make_compressible(65536, seed=33)
+    c1 = encode_jax.encode_block_host(data, level=1)
+    c9 = encode_jax.encode_block_host(data, level=9)
+    assert c1 is not None and c9 is not None
+    assert len(c9) <= len(c1)
+    assert native.decompress(c9, len(data)) == data
+
+
+def test_device_encode_batch_dict():
+    import jax.numpy as jnp
+    from conftest import make_incompressible
+    B, N, D = 4, 4096, 4096
+    dicts_raw = [make_incompressible(D, seed=40 + i) for i in range(B)]
+    blocks = [d[-2000:] + bytes([i]) * 2096 for i, d in enumerate(dicts_raw)]
+    data = np.zeros((B, N), np.uint8)
+    lens = np.zeros((B,), np.int32)
+    dicts = np.zeros((B, D), np.uint8)
+    dlens = np.zeros((B,), np.int32)
+    for i in range(B):
+        data[i, : len(blocks[i])] = np.frombuffer(blocks[i], np.uint8)
+        lens[i] = len(blocks[i])
+        dicts[i, D - len(dicts_raw[i]):] = np.frombuffer(dicts_raw[i], np.uint8)
+        dlens[i] = len(dicts_raw[i])
+    out, totals, compressible = encode_jax.encode_batch_dict(
+        jnp.asarray(data), jnp.asarray(lens), jnp.asarray(dicts),
+        jnp.asarray(dlens))
+    out = np.asarray(out)
+    for i in range(B):
+        comp = out[i, : int(totals[i])].tobytes()
+        assert native.decompress(comp, len(blocks[i]),
+                                 dict_=dicts_raw[i]) == blocks[i]

@@ -190,6 +190,7 @@ def test_writer_skip_frame_method():
     w2.flush()
     with pytest.raises(zerr.Lz4Error):
         w2.write_skip_frame(1, b"late")
+    w2.close()
 
 
 def test_skip_frame_between_frames():
