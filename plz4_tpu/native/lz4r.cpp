@@ -256,6 +256,7 @@ struct ChainFinder {
                 if (len > best) {
                     best = len;
                     *mpos = mp;
+                    if (ip + best >= matchlimit) break;  // cannot improve
                 }
             }
             cand = chain[(cand - 1) & 0xFFFF];
@@ -274,10 +275,115 @@ int hc_attempts_for_level(int level) {
         case 7: return 128;
         case 8: return 256;
         case 9: return 512;
-        case 10: return 1024;
-        case 11: return 4096;
-        default: return 65536;  // 12+
+        case 10: return 512;   // opt parser: attempts per position
+        case 11: return 1024;
+        default: return 4096;  // 12+
     }
+}
+
+// ---------------------------------------------------------------------------
+// Optimal parse (levels 10-12): backward dynamic program over positions with
+// approximate sequence pricing (1 byte per literal; 3 bytes + length
+// extensions per match), choice set = every candidate match length up to 32
+// plus the maximal length. Reference analog: LZ4HC_compress_optimal
+// (lz4hc.c:1823) with its price table.
+// ---------------------------------------------------------------------------
+inline int match_price(int l) {  // token share (1) + offset (2) + extensions
+    int v = l - MINMATCH;
+    return 3 + (v >= 15 ? 1 + (v - 15) / 255 : 0);
+}
+
+int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
+                 uint8_t* dst, int dst_cap, int level) {
+    if (src_size < 0 || dst_cap <= 0) return -1;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    const uint8_t* const iend = src + src_size;
+    const uint8_t* const mflimit = iend - MFLIMIT;
+    const uint8_t* const matchlimit = iend - LASTLITERALS;
+    const int attempts = hc_attempts_for_level(level);
+
+    if (src_size == 0) {
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
+    if (src_size < MFLIMIT + 1) {
+        op = emit_last_literals(op, oend, src, src_size);
+        return op ? (int)(op - dst) : 0;
+    }
+
+    // --- pass 1: longest match per position --------------------------------
+    std::vector<int32_t> mlen(src_size, 0);
+    std::vector<int32_t> moff(src_size, 0);
+    {
+        ChainFinder cf(wbase, (size_t)(iend - wbase));
+        if (src > wbase) cf.insert_upto(src);
+        // long-match inheritance: inside a long match, position i+1 has at
+        // least (len-1, same offset) — skip the chain walk there. Keeps the
+        // scan near-linear on RLE/periodic data.
+        int carry_len = 0, carry_off = 0;
+        for (int i = 0; i + MFLIMIT <= src_size; ++i) {
+            const uint8_t* ip = src + i;
+            if (carry_len > 64) {
+                cf.insert_upto(ip + 1);  // keep chains complete
+                mlen[i] = carry_len;
+                moff[i] = carry_off;
+                --carry_len;
+                continue;
+            }
+            const uint8_t* match = nullptr;
+            int l = cf.find(ip, matchlimit, attempts, &match);
+            if (l >= MINMATCH) {
+                mlen[i] = l;
+                moff[i] = (int32_t)(ip - match);
+                carry_len = l - 1;
+                carry_off = moff[i];
+            } else {
+                carry_len = 0;
+            }
+        }
+    }
+
+    // --- pass 2: backward DP ----------------------------------------------
+    // dp[i] = approx cost of encoding suffix [i, n); lit steps cost 1,
+    // match of length l costs match_price(l) + dp[i+l].
+    std::vector<int32_t> dp(src_size + 1, 0);
+    std::vector<int32_t> choice(src_size + 1, 0);  // 0 = literal, >0 = length
+    for (int i = src_size - 1; i >= 0; --i) {
+        int best = dp[i + 1] + 1;
+        int best_l = 0;
+        int ml = mlen[i];
+        if (ml >= MINMATCH) {
+            int short_cap = ml < 32 ? ml : 32;
+            for (int l = MINMATCH; l <= short_cap; ++l) {
+                int c = match_price(l) + dp[i + l];
+                if (c < best) { best = c; best_l = l; }
+            }
+            if (ml > 32) {
+                int c = match_price(ml) + dp[i + ml];
+                if (c < best) { best = c; best_l = ml; }
+            }
+        }
+        dp[i] = best;
+        choice[i] = best_l;
+    }
+
+    // --- pass 3: reconstruct + emit ---------------------------------------
+    const uint8_t* anchor = src;
+    int i = 0;
+    while (i < src_size) {
+        int l = choice[i];
+        if (l == 0) { ++i; continue; }
+        const uint8_t* ip = src + i;
+        op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
+                           (uint32_t)moff[i], l);
+        if (!op) return 0;
+        i += l;
+        anchor = src + i;
+    }
+    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
+    return op ? (int)(op - dst) : 0;
 }
 
 int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
@@ -368,11 +474,13 @@ LZ4R_API int lz4r_compress(const uint8_t* src, int src_size, uint8_t* dst,
         std::memcpy(scratch.data() + dict_size, src, src_size);
         const uint8_t* wbase = scratch.data();
         const uint8_t* s = scratch.data() + dict_size;
-        return level <= 1 ? compress_greedy(wbase, s, src_size, dst, dst_cap, 1)
-                          : compress_hc(wbase, s, src_size, dst, dst_cap, level);
+        if (level <= 1) return compress_greedy(wbase, s, src_size, dst, dst_cap, 1);
+        if (level >= 10) return compress_opt(wbase, s, src_size, dst, dst_cap, level);
+        return compress_hc(wbase, s, src_size, dst, dst_cap, level);
     }
-    return level <= 1 ? compress_greedy(src, src, src_size, dst, dst_cap, 1)
-                      : compress_hc(src, src, src_size, dst, dst_cap, level);
+    if (level <= 1) return compress_greedy(src, src, src_size, dst, dst_cap, 1);
+    if (level >= 10) return compress_opt(src, src, src_size, dst, dst_cap, level);
+    return compress_hc(src, src, src_size, dst, dst_cap, level);
 }
 
 // Safe decompress with optional detached dictionary. Returns decompressed

@@ -24,6 +24,9 @@ import pytest  # noqa: E402
 # suite time drastically across runs.
 import jax  # noqa: E402
 
+# The env var alone does not displace the preset axon platform; the config
+# update does.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/plz4_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
