@@ -76,13 +76,16 @@ def bench_native(blocks: list[bytes]) -> tuple[float, float]:
 
 def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     """Device-resident codec throughput: the TPU-native production dataflow
-    keeps tensors in HBM (decode feeds device consumers; encode reads
-    device-resident data), so the benchmark keeps data on device end to end
-    and transfers only scalars. (This machine reaches the chip through a
-    ~10 MB/s tunnel; production hosts use PCIe — excluding bulk transfer
-    measures the chip, not the tunnel.)
+    keeps tensors in HBM, so the benchmark keeps data on device end to end
+    and transfers only scalars. This machine reaches the chip through a
+    high-latency tunnel whose completion signals are unreliable, so the
+    measured workload runs as a k-iteration on-device loop (with per-
+    iteration data variation to defeat loop-invariant hoisting) inside a
+    single dispatch; fixed dispatch overhead is measured with a hoistable
+    (constant) loop of the same shape and subtracted.
 
-    Returns (t_enc, t_dec, ratio) for one full pass over the corpus.
+    Returns (t_enc, t_dec, ratio) normalized to one pass over one batch,
+    scaled to the corpus size by the caller via per-byte rates.
     """
     import functools
 
@@ -92,72 +95,88 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     from plz4_tpu.ops import decode_jax, encode_jax
 
     B = DEVICE_CHUNK
-    blocks = [b for b in blocks if len(b) == BLOCK]
-    nb = (len(blocks) // B) * B
-    blocks = blocks[:nb]
-    data_np = np.stack(
-        [np.frombuffer(b, dtype=np.uint8) for b in blocks]).reshape(-1, B, BLOCK)
-    lens_np = np.full((data_np.shape[0], B), BLOCK, dtype=np.int32)
-    n_chunks = data_np.shape[0]
+    blocks = [b for b in blocks if len(b) == BLOCK][: B]
+    if len(blocks) < B:
+        raise RuntimeError("corpus too small for device bench")
+    data_np = np.stack([np.frombuffer(b, dtype=np.uint8) for b in blocks])
+    lens_np = np.full((B,), BLOCK, dtype=np.int32)
+    batch_bytes = B * BLOCK
 
-    # one-time staging into HBM (excluded: production inputs are
-    # device-resident)
     data = jax.device_put(jnp.asarray(data_np))
     lens = jax.device_put(jnp.asarray(lens_np))
-    jax.block_until_ready(data)
 
-    # The tunnel to the remote chip has ~1s latency per *synchronous* call,
-    # but dispatch is asynchronous: enqueue all chunk steps (scalar results
-    # only), then force one real sync by pulling a combined scalar.
-    # block_until_ready is unreliable through the tunnel; device_get of a
-    # value is a true barrier. Null-dispatch latency is subtracted.
-    R = int(os.environ.get("PLZ4_BENCH_REPEATS", "4"))
+    K_ENC = int(os.environ.get("PLZ4_BENCH_K_ENC", "4"))
+    K_RT = int(os.environ.get("PLZ4_BENCH_K_RT", "2"))
 
+    @functools.partial(jax.jit, static_argnames=("k", "vary"))
+    def enc_k(d, l, k, vary):
+        def body(i, acc):
+            d2 = d ^ (i % 7).astype(jnp.uint8) if vary else d
+            out, totals, _ = encode_jax.encode_batch(d2, l)
+            return acc + jnp.sum(totals)
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    @functools.partial(jax.jit, static_argnames=("k", "vary"))
+    def dec_k(c0, t0_, c1, t1_, l, d0, d1, k, vary):
+        """Decode-only loop alternating two precomputed streams so the body
+        cannot be hoisted; verifies round-trip equality each iteration."""
+        def body(i, carry):
+            acc, bad = carry
+            pick = (i % 2 == 0) if vary else True
+            c = jnp.where(pick, c0, c1)
+            t = jnp.where(pick, t0_, t1_)
+            d = jnp.where(pick, d0, d1)
+            dec, n_out, ok = jax.vmap(
+                lambda cc, nn: decode_jax.decode_block(cc, nn, out_cap=BLOCK)
+            )(c, t)
+            good = jnp.all(ok & (n_out == l) & jnp.all(dec == d, axis=-1))
+            return acc + jnp.sum(n_out), bad | ~good
+
+        return jax.lax.fori_loop(0, k, body,
+                                 (jnp.int32(0), jnp.bool_(False)))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return r, time.perf_counter() - t0
+
+    # precompute two encoded variants on device for the decode loop
     @jax.jit
-    def enc_step(d, l):
-        out, totals, _ = encode_jax.encode_batch(d, l)
-        return jnp.sum(totals)
+    def enc_once(d, l):
+        return encode_jax.encode_batch(d, l)
 
-    @jax.jit
-    def rt_step(d, l):
-        out, totals, _ = encode_jax.encode_batch(d, l)
-        dec, n_out, ok = jax.vmap(
-            lambda c, n: decode_jax.decode_block(c, n, out_cap=BLOCK)
-        )(out, totals)
-        good = jnp.all(ok & (n_out == l) & jnp.all(dec == d, axis=-1))
-        # fold the validity flag into the scalar so one pull checks both
-        return jnp.sum(totals) + jnp.where(good, 0, jnp.int32(1 << 30))
+    data1 = data ^ np.uint8(1)
+    c0, t0v, _ = enc_once(data, lens)
+    c1, t1v, _ = enc_once(data1, lens)
+    comp_one = int(jnp.sum(t0v))
+    ratio = batch_bytes / max(1, comp_one)
 
-    @jax.jit
-    def combine(xs):
-        return jnp.sum(jnp.stack(xs))
+    # compile everything first
+    int(enc_k(data, lens, K_ENC, True))
+    int(enc_k(data, lens, K_ENC, False))
+    _, bad = dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True)
+    assert not bool(bad), "device round-trip mismatch"
+    dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, False)
 
-    def run(step):
-        parts = [step(data[i % n_chunks], lens[i % n_chunks])
-                 for i in range(R * n_chunks)]
-        return int(combine(parts))
+    # overhead: same call shape but hoistable loop body; min of 3 runs
+    # (the tunnel's latency is noisy)
+    t_ovh = min(timed(lambda: int(enc_k(data, lens, K_ENC, False)))[1]
+                for _ in range(3))
+    _log(f"dispatch overhead: {t_ovh:.2f}s")
 
-    # compile + warm (same arity as the timed runs)
-    run(enc_step)
-    assert run(rt_step) < (1 << 30), "device round-trip mismatch"
+    _, t_enc_all = timed(lambda: int(enc_k(data, lens, K_ENC, True)))
+    t_enc = max(t_enc_all - t_ovh, 1e-9) / K_ENC
 
-    t0 = time.perf_counter()
-    int(combine([enc_step(data[0], lens[0])] * (R * n_chunks)))
-    t_null = time.perf_counter() - t0
-    _log(f"sync overhead estimate: {t_null * 1000:.0f} ms")
+    res, t_dec_all = timed(
+        lambda: dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True))
+    bad = bool(res[1])
+    t_dec = max(t_dec_all - t_ovh, 1e-9) / K_RT
+    assert not bad, "device round-trip mismatch"
 
-    t0 = time.perf_counter()
-    comp_sum = run(enc_step)
-    t_enc = max(time.perf_counter() - t0 - t_null, 1e-9) / R
-    ratio = (nb * BLOCK * R) / max(1, comp_sum)
-
-    t0 = time.perf_counter()
-    comp2 = run(rt_step)
-    t_rt = max(time.perf_counter() - t0 - t_null, 1e-9) / R
-    assert comp2 < (1 << 30), "device round-trip mismatch"
-
-    t_dec = max(t_rt - t_enc, 1e-9)
-    return t_enc, t_dec, ratio
+    enc_gbps = batch_bytes / 1e9 / t_enc
+    dec_gbps = batch_bytes / 1e9 / t_dec
+    return enc_gbps, dec_gbps, ratio
 
 
 def main() -> None:
@@ -176,10 +195,10 @@ def main() -> None:
     metric = ("lz4 frame roundtrip (encode+decode) GB/s per chip, "
               "64KiB blocks, level 1, Silesia-like corpus")
     try:
-        t_enc_d, t_dec_d, ratio = bench_device(blocks)
-        device_rt = 2 * gb / (t_enc_d + t_dec_d)
-        _log(f"device: encode {gb / t_enc_d:.3f} GB/s, "
-             f"decode {gb / t_dec_d:.3f} GB/s, roundtrip {device_rt:.3f} "
+        enc_gbps, dec_gbps, ratio = bench_device(blocks)
+        device_rt = 2 / (1 / enc_gbps + 1 / dec_gbps)
+        _log(f"device: encode {enc_gbps:.4f} GB/s, "
+             f"decode {dec_gbps:.4f} GB/s, roundtrip {device_rt:.4f} "
              f"GB/s, ratio {ratio:.3f}")
         print(json.dumps({
             "metric": metric,

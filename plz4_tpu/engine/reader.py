@@ -208,6 +208,11 @@ class FrameReader:
         self._hasher = (native.Xxh32Stream()
                         if (h.content_checksum and self._check_content)
                         else None)
+        # dynamic worker scaling by declared content size
+        # (reference: async/reader.go:90-99)
+        if h.content_size is not None and self._parallel > 0:
+            blocks = h.content_size // h.block_size + 1
+            self._parallel = max(1, min(self._parallel, blocks))
         self._blk_rdr = block_io.FrameBlockReader(
             self._src, h, hash_fn=native.xxh32)
         return True

@@ -96,6 +96,11 @@ class FrameWriter:
         self._dst_pos = 0
         self._hasher = _HashWorker() if self._o.content_checksum else None
         self._parallel = self._o.resolved_parallel()
+        # dynamic worker scaling: no point spinning more workers than the
+        # payload has blocks (reference: async/writer.go:457-466)
+        if self._o.content_size is not None and self._parallel > 0:
+            blocks = self._o.content_size // self._o.block_size + 1
+            self._parallel = max(1, min(self._parallel, blocks))
         self._budget = self._o.pending_budget()
         self._pool: ThreadPoolExecutor | None = None
         self._pending: deque = deque()  # (future, src_len)
