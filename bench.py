@@ -94,6 +94,24 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
 
     from plz4_tpu.ops import decode_jax, encode_jax
 
+    use_pallas = (jax.default_backend() == "tpu"
+                  and not os.environ.get("PLZ4_NO_PALLAS"))
+    if use_pallas:
+        from plz4_tpu.ops import decode_pallas, encode_pallas
+
+        def enc_fn(d, l):
+            return encode_pallas.encode_batch_pallas(d, l)
+
+        def dec_fn(c, t):
+            return decode_pallas.decode_batch_pallas(c, t, out_cap=BLOCK)
+    else:
+        def enc_fn(d, l):
+            return encode_jax.encode_batch(d, l)
+
+        def dec_fn(c, t):
+            return decode_jax.decode_batch(c, t, out_cap=BLOCK)
+    _log(f"device kernels: {'pallas' if use_pallas else 'xla-array'}")
+
     B = DEVICE_CHUNK
     blocks = [b for b in blocks if len(b) == BLOCK][: B]
     if len(blocks) < B:
@@ -105,14 +123,19 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     data = jax.device_put(jnp.asarray(data_np))
     lens = jax.device_put(jnp.asarray(lens_np))
 
-    K_ENC = int(os.environ.get("PLZ4_BENCH_K_ENC", "4"))
-    K_RT = int(os.environ.get("PLZ4_BENCH_K_RT", "2"))
+    # pallas kernels are ~20x faster per iteration: use more repeats so the
+    # measurement dwarfs the (noisy) dispatch overhead, while staying well
+    # under the tunnel's long-dispatch watchdog
+    K_ENC = int(os.environ.get("PLZ4_BENCH_K_ENC",
+                               "32" if use_pallas else "4"))
+    K_RT = int(os.environ.get("PLZ4_BENCH_K_RT",
+                              "16" if use_pallas else "2"))
 
     @functools.partial(jax.jit, static_argnames=("k", "vary"))
     def enc_k(d, l, k, vary):
         def body(i, acc):
             d2 = d ^ (i % 7).astype(jnp.uint8) if vary else d
-            out, totals, _ = encode_jax.encode_batch(d2, l)
+            out, totals, _ = enc_fn(d2, l)
             return acc + jnp.sum(totals)
 
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
@@ -127,9 +150,7 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
             c = jnp.where(pick, c0, c1)
             t = jnp.where(pick, t0_, t1_)
             d = jnp.where(pick, d0, d1)
-            dec, n_out, ok = jax.vmap(
-                lambda cc, nn: decode_jax.decode_block(cc, nn, out_cap=BLOCK)
-            )(c, t)
+            dec, n_out, ok = dec_fn(c, t)
             good = jnp.all(ok & (n_out == l) & jnp.all(dec == d, axis=-1))
             return acc + jnp.sum(n_out), bad | ~good
 
@@ -144,7 +165,7 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     # precompute two encoded variants on device for the decode loop
     @jax.jit
     def enc_once(d, l):
-        return encode_jax.encode_batch(d, l)
+        return enc_fn(d, l)
 
     data1 = data ^ np.uint8(1)
     c0, t0v, _ = enc_once(data, lens)

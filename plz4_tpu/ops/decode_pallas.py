@@ -1,20 +1,23 @@
 """LZ4 block decode as a Pallas TPU kernel — serial per-block sequence loop
-in VMEM.
+over SMEM with byte-packed words.
 
 Motivation (docs/perf_notes.md): on TPU, random gathers cost ~5-10 ns per
 element, so the O(log n)-depth array-program decoder (decode_jax.py) is
-gather-bound at a few MB/s per chip. A 64 KiB block plus its window and
-output fit easily in VMEM, where the classic serial LZ4 loop (reference
-analog: LZ4_decompress_generic, clz4/lz4.c:2016) runs on the scalar core at
-cycles-per-byte rates — 1-2 orders of magnitude faster for this workload.
-Blocks still parallelize across cores/chips via the grid and mesh.
+gather-bound at a few MB/s per chip. The classic serial LZ4 loop (reference
+analog: LZ4_decompress_generic, clz4/lz4.c:2016) instead runs on the TPU
+scalar core over SMEM, where dynamic scalar loads/stores are native.
+Mosaic constraints shape the design:
 
-Data is staged as int32 (one byte per element) to sidestep sub-word tiling
-constraints; conversion to/from uint8 happens outside the kernel at VPU
-speed. Each grid step decodes one block.
+  * scalar stores are only legal to SMEM, and SMEM operands are capped at
+    ~256 KiB — so both the compressed input and the decoded output live in
+    SMEM as int32 *words* with 4 bytes packed per word (shift/mask access),
+    keeping a 64 KiB block + 64 KiB output + metadata within budget;
+  * packing/unpacking between uint8 arrays and packed words happens
+    outside the kernel at VPU speed.
 
-This v1 kernel is byte-at-a-time (correctness-first); vectorized wild
-copies are the planned follow-up.
+Blocks parallelize across grid steps / vmap and across chips via the mesh;
+within a block the loop is serial exactly like the C hot loop — that is
+the fast shape for byte-granular work on this hardware.
 """
 
 from __future__ import annotations
@@ -25,104 +28,187 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 
 
-def _decode_kernel(comp_ref, clen_ref, out_ref, n_out_ref, ok_ref):
-    """Decode one block: comp_ref (C,) int32 bytes; out_ref (N,) int32."""
-    C = comp_ref.shape[0]
-    N = out_ref.shape[0]
+def pack_words(data_u8: jnp.ndarray) -> jnp.ndarray:
+    """(..., N) uint8 -> (..., N//4) int32 little-endian packed words."""
+    shape = data_u8.shape
+    w = data_u8.reshape(*shape[:-1], shape[-1] // 4, 4).astype(I32)
+    return (w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16)
+            | (w[..., 3] << 24))
+
+
+def unpack_words(words_i32: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) int32 -> (..., W*4) uint8."""
+    w = words_i32[..., None]
+    b = jnp.concatenate(
+        [w & 255, (w >> 8) & 255, (w >> 16) & 255, (w >> 24) & 255],
+        axis=-1)
+    return b.reshape(*words_i32.shape[:-1],
+                     words_i32.shape[-1] * 4).astype(jnp.uint8)
+
+
+def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
+    """cw_ref: (Wc,) packed compressed words (SMEM); ow_ref: (Wo,) packed
+    output words (SMEM). clen in bytes."""
+    Wc = cw_ref.shape[0]
+    Wo = ow_ref.shape[0]
+    C = Wc * 4
+    N = Wo * 4
     clen = clen_ref[0]
 
-    # state: (ip, op, ok, done)
-    def cond(state):
-        _, _, _, done = state
-        return jnp.logical_not(done)
+    def rd_c(p):
+        p = jnp.clip(p, 0, C - 1)
+        w = cw_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
 
-    def read_byte(ip):
-        return comp_ref[ip]
+    def rd_o(p):
+        p = jnp.clip(p, 0, N - 1)
+        w = ow_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def wr_o(p, v):
+        p = jnp.clip(p, 0, N - 1)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        w = ow_ref[idx]
+        ow_ref[idx] = (w & (jnp.int32(-1) ^ (255 << sh))) | (v << sh)
+
+    def rd_c_word(p):
+        """Unaligned 4-byte little-endian read from the compressed stream."""
+        p = jnp.clip(p, 0, C - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = cw_ref[idx]
+        hi = cw_ref[jnp.minimum(idx + 1, Wc - 1)]
+        # sh == 0 must not shift hi by 32 (UB); select instead
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
+
+    def rd_o_word(p):
+        p = jnp.clip(p, 0, N - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = ow_ref[idx]
+        hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
+
+    def wr_o_word(p, v):
+        """Unaligned 4-byte write (read-modify-write on two words)."""
+        p = jnp.clip(p, 0, N - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+
+        def aligned():
+            ow_ref[idx] = v
+
+        def unaligned():
+            lo = ow_ref[idx]
+            hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
+            lo_mask = (1 << sh) - 1
+            ow_ref[idx] = (lo & lo_mask) | (v << sh)
+            hi_keep = jnp.int32(-1) ^ ((1 << sh) - 1)
+            ow_ref[jnp.minimum(idx + 1, Wo - 1)] = (
+                (hi & hi_keep) | ((v >> (32 - sh)) & ((1 << sh) - 1)))
+
+        jax.lax.cond(sh == 0, aligned, unaligned)
 
     def read_varint(ip, base):
-        """255-run length extension starting at ip; returns (value, ip)."""
         def vcond(s):
             _, _, last = s
             return last == 255
 
         def vbody(s):
             total, p, _ = s
-            b = read_byte(jnp.minimum(p, C - 1))
+            b = rd_c(p)
             return total + b, p + 1, b
 
         total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
         return total, p
 
+    def cond(state):
+        _, _, _, done = state
+        return jnp.logical_not(done)
+
     def body(state):
         ip, op, ok, _ = state
         bad = ip >= clen
-        token = read_byte(jnp.minimum(ip, C - 1))
+        token = rd_c(ip)
         ip = ip + 1
 
-        # --- literal length ---
         lit_len = token >> 4
         lit_len, ip = jax.lax.cond(
-            lit_len == 15,
-            lambda: read_varint(ip, 15),
+            lit_len == 15, lambda: read_varint(ip, 15),
             lambda: (lit_len, ip))
         bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
 
-        # --- copy literals (byte loop) ---
-        def lit_copy(i, _):
-            out_ref[jnp.minimum(op + i, N - 1)] = read_byte(
-                jnp.minimum(ip + i, C - 1))
-            return 0
+        # wild word copy (may overshoot <=3 bytes; later writes overwrite)
+        # unless too close to the end of the output buffer
+        lit_n = jnp.where(bad, 0, lit_len)
+        use_words = op + lit_n + 4 <= N
 
-        safe_lit = jnp.where(bad, 0, lit_len)
-        jax.lax.fori_loop(0, safe_lit, lit_copy, 0)
+        def lit_words():
+            def wbody(t, _):
+                wr_o_word(op + t * 4, rd_c_word(ip + t * 4))
+                return 0
+            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody, 0)
+
+        def lit_bytes():
+            def bbody(i, _):
+                wr_o(op + i, rd_c(ip + i))
+                return 0
+            jax.lax.fori_loop(0, lit_n, bbody, 0)
+
+        jax.lax.cond(use_words, lit_words, lit_bytes)
         ip = ip + lit_len
         op = op + lit_len
 
-        # --- end of block: last sequence is literals-only ---
         done = (ip >= clen) | bad
 
         def do_match(ip, op, bad):
-            off = (read_byte(jnp.minimum(ip, C - 1))
-                   | (read_byte(jnp.minimum(ip + 1, C - 1)) << 8))
+            off = rd_c(ip) | (rd_c(ip + 1) << 8)
             ip = ip + 2
             bad = bad | (ip > clen) | (off == 0)
             mlen = token & 15
             mlen, ip = jax.lax.cond(
-                mlen == 15,
-                lambda: read_varint(ip, 15),
+                mlen == 15, lambda: read_varint(ip, 15),
                 lambda: (mlen, ip))
             mlen = mlen + 4
             bad = bad | (op + mlen > N) | (off > op)
 
-            def mcopy(i, _):
-                src = jnp.maximum(op - off + i, 0)
-                out_ref[jnp.minimum(op + i, N - 1)] = out_ref[
-                    jnp.minimum(src, N - 1)]
-                return 0
+            m_n = jnp.where(bad, 0, mlen)
+            # word copy is safe when the source word never overlaps the
+            # write cursor (off >= 4) and overshoot stays in bounds
+            use_words = (off >= 4) & (op + m_n + 4 <= N)
 
-            safe_m = jnp.where(bad, 0, mlen)
-            jax.lax.fori_loop(0, safe_m, mcopy, 0)
-            return ip, op + jnp.where(bad, 0, mlen), bad
+            def m_words():
+                def wbody(t, _):
+                    wr_o_word(op + t * 4, rd_o_word(op - off + t * 4))
+                    return 0
+                jax.lax.fori_loop(0, (m_n + 3) >> 2, wbody, 0)
+
+            def m_bytes():
+                def bbody(i, _):
+                    wr_o(op + i, rd_o(op - off + i))
+                    return 0
+                jax.lax.fori_loop(0, m_n, bbody, 0)
+
+            jax.lax.cond(use_words, m_words, m_bytes)
+            return ip, op + m_n, bad
 
         ip, op, bad = jax.lax.cond(
-            done,
-            lambda ip, op, bad: (ip, op, bad),
-            do_match,
-            ip, op, bad)
+            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
 
         return ip, op, ok & jnp.logical_not(bad), done | bad
 
-    # handle empty input: token 0x00 only, or clen == 0 invalid
-    ip0 = jnp.int32(0)
-    op0 = jnp.int32(0)
-    ok0 = clen > 0
-    done0 = clen <= 0
-    ip, op, ok, _ = jax.lax.while_loop(cond, body, (ip0, op0, ok0, done0))
-    # a well-formed block consumes exactly clen bytes
+    ip, op, ok, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
     ok = ok & (ip == clen)
     n_out_ref[0] = op
     ok_ref[0] = ok.astype(I32)
@@ -133,29 +219,47 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
                         interpret: bool = False):
     """Decode one LZ4 block with the Pallas kernel.
 
-    comp: (C,) uint8 zero-padded; clen: scalar int32.
-    Returns (out (out_cap,) uint8, n_out, ok).
+    comp: (C,) uint8 zero-padded, C % 4 == 0; clen: scalar int32.
+    Returns (out (out_cap,) uint8, n_out, ok). out_cap % 4 == 0.
     """
     C = comp.shape[0]
-    out, n_out, ok = pl.pallas_call(
+    assert C % 4 == 0 and out_cap % 4 == 0
+    # tail slack so unaligned word reads near clen never hit the clip guard
+    comp = jnp.concatenate([comp, jnp.zeros((8,), dtype=comp.dtype)])
+    cw = pack_words(comp)
+    ow, n_out, ok = pl.pallas_call(
         _decode_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((out_cap,), I32),
+            jax.ShapeDtypeStruct((out_cap // 4,), I32),
             jax.ShapeDtypeStruct((1,), I32),
             jax.ShapeDtypeStruct((1,), I32),
         ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
         interpret=interpret,
-    )(comp.astype(I32), jnp.reshape(clen.astype(I32), (1,)))
-    return out.astype(jnp.uint8), n_out[0], ok[0] != 0
+    )(cw, jnp.reshape(clen.astype(I32), (1,)))
+    return unpack_words(ow), n_out[0], ok[0] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
 def decode_batch_pallas(comp: jnp.ndarray, clens: jnp.ndarray, out_cap: int,
                         interpret: bool = False):
-    """Batch decode: comp (B, C) uint8, clens (B,)."""
+    """Batch decode: comp (B, C) uint8, clens (B,).
+
+    lax.map (not vmap): SMEM kernels run one block per step on the scalar
+    core; mapping sequentially matches the hardware and sidesteps Mosaic's
+    block-shape constraints on vmapped SMEM operands.
+    """
     fn = functools.partial(decode_block_pallas, out_cap=out_cap,
                            interpret=interpret)
-    return jax.vmap(fn)(comp, clens)
+    return jax.lax.map(lambda args: fn(*args), (comp, clens))
 
 
 def decode_block_host(comp: bytes, out_cap: int,
@@ -164,7 +268,8 @@ def decode_block_host(comp: bytes, out_cap: int,
     running on TPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    C = max(16, len(comp) + 8)
+    C = max(16, (len(comp) + 8 + 3) & ~3)
+    out_cap = (out_cap + 3) & ~3
     buf = np.zeros(C, dtype=np.uint8)
     buf[: len(comp)] = np.frombuffer(comp, dtype=np.uint8)
     out, n, ok = decode_block_pallas(

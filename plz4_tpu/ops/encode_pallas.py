@@ -1,0 +1,316 @@
+"""LZ4 block encode (greedy, level-1 class) as a Pallas TPU kernel —
+serial hash-table scan over SMEM with byte-packed words.
+
+The classic greedy loop (reference analog: LZ4_compress_fast hot loop,
+clz4/lz4.c:930) runs on the TPU scalar core: the 64 KiB input block, the
+compressed output, and a 2^14-entry hash table all fit in SMEM as packed
+int32 words. Blocks parallelize across grid steps / vmap / mesh; within a
+block the scan is serial — the fast shape for byte-granular work on this
+hardware (docs/perf_notes.md).
+
+Emits standard LZ4 block streams (greedy parse with backward extension and
+skip acceleration); incompressible blocks surface via the `ok` flag with
+total >= n so the frame layer stores them raw.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_pallas import pack_words, unpack_words
+
+I32 = jnp.int32
+
+HASH_LOG = 14  # 2^14 entries * 4B = 64 KiB SMEM
+HASH_MUL = np.int32(np.uint32(2654435761).astype(np.int32))
+MAX_DISTANCE = 65535
+SKIP_STRENGTH = 6
+
+
+def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
+    """dw_ref: (Wd,) packed input words; ow_ref: (Wo,) packed output words;
+    tab_ref: (2^HASH_LOG,) scratch hash table (position+1, 0 = empty)."""
+    Wd = dw_ref.shape[0]
+    Wo = ow_ref.shape[0]
+    D = Wd * 4   # input byte capacity
+    O = Wo * 4   # output byte capacity
+    n = n_ref[0]
+
+    def rd_b(p):
+        p = jnp.clip(p, 0, D - 1)
+        w = dw_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def rd_w(p):
+        """Unaligned 4-byte LE read from input."""
+        p = jnp.clip(p, 0, D - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = dw_ref[idx]
+        hi = dw_ref[jnp.minimum(idx + 1, Wd - 1)]
+        lo_u = jax.lax.shift_right_logical(lo, sh)
+        return jnp.where(sh == 0, lo, lo_u | (hi << (32 - sh)))
+
+    def wr_b(p, v):
+        p = jnp.clip(p, 0, O - 1)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        w = ow_ref[idx]
+        ow_ref[idx] = (w & (jnp.int32(-1) ^ (255 << sh))) | ((v & 255) << sh)
+
+    def wr_w(p, v):
+        """Unaligned 4-byte write to output (wild: may clobber 3 bytes past
+        the logical position — callers always overwrite forward)."""
+        p = jnp.clip(p, 0, O - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+
+        def aligned():
+            ow_ref[idx] = v
+
+        def unaligned():
+            lo = ow_ref[idx]
+            hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
+            ow_ref[idx] = (lo & ((1 << sh) - 1)) | (v << sh)
+            keep = jnp.int32(-1) ^ ((1 << sh) - 1)
+            v_hi = jax.lax.shift_right_logical(v, 32 - sh) & ((1 << sh) - 1)
+            ow_ref[jnp.minimum(idx + 1, Wo - 1)] = (hi & keep) | v_hi
+
+        jax.lax.cond(sh == 0, aligned, unaligned)
+
+    def hash4(u32):
+        return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HASH_LOG)
+
+    def emit_len_ext(pos, value):
+        """Emit a 255-run length extension for value (= len - 15)."""
+        def c(s):
+            v, _ = s
+            return v >= 255
+
+        def b(s):
+            v, p = s
+            wr_b(p, 255)
+            return v - 255, p + 1
+
+        v, p = jax.lax.while_loop(c, b, (value, pos))
+        wr_b(p, v)
+        return p + 1
+
+    def emit_sequence(op, anchor, ip, mpos, mlen):
+        """Emit literals [anchor, ip) + match (offset ip-mpos, len mlen).
+        mlen == 0 means final literals (no match part)."""
+        lit = ip - anchor
+        tok_pos = op
+        op = op + 1
+        # literal length
+        op = jax.lax.cond(
+            lit >= 15, lambda: emit_len_ext(op, lit - 15), lambda: op)
+        # literal bytes (wild word copy; output has slack)
+        def lcopy(t, _):
+            wr_w(op + t * 4, rd_w(anchor + t * 4))
+            return 0
+        jax.lax.fori_loop(0, (lit + 3) >> 2, lcopy, 0)
+        op = op + lit
+
+        def with_match():
+            o = op
+            off = ip - mpos
+            wr_b(o, off & 255)
+            wr_b(o + 1, off >> 8)
+            o = o + 2
+            mv = mlen - 4
+            o2 = jax.lax.cond(
+                mv >= 15, lambda: emit_len_ext(o, mv - 15), lambda: o)
+            tok = (jnp.minimum(lit, 15) << 4) | jnp.minimum(mv, 15)
+            wr_b(tok_pos, tok)
+            return o2
+
+        def literals_only():
+            wr_b(tok_pos, jnp.minimum(lit, 15) << 4)
+            return op
+
+        return jax.lax.cond(mlen > 0, with_match, literals_only)
+
+    # ---- init hash table -------------------------------------------------
+    def tinit(i, _):
+        tab_ref[i] = 0
+        return 0
+    jax.lax.fori_loop(0, tab_ref.shape[0], tinit, 0)
+
+    mflimit = n - 12
+    matchlimit = n - 5
+    out_limit = O - 16  # stop when output approaches capacity
+
+    # state: (ip, anchor, op, overflow)
+    def cond(state):
+        ip, _, op, overflow = state
+        return (ip <= mflimit) & (overflow == 0)
+
+    def body(state):
+        ip, anchor, op, overflow = state
+
+        # --- search with skip acceleration -------------------------------
+        def s_cond(s):
+            sip, _, found, cpos = s
+            return (found == 0) & (sip <= mflimit)
+
+        def s_body(s):
+            sip, cnt, _, _ = s
+            u = rd_w(sip)
+            h = hash4(u)
+            cand = tab_ref[h] - 1
+            tab_ref[h] = sip + 1
+            good = ((cand >= 0) & (cand < sip)
+                    & (sip - cand <= MAX_DISTANCE)
+                    & (rd_w(cand) == u))
+            step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
+            return (jnp.where(good, sip, sip + 1 + step), cnt + 1,
+                    good.astype(I32), cand)
+
+        sip, _, found, cand = jax.lax.while_loop(
+            s_cond, s_body, (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+        def no_match():
+            # overflow flag carried as i32 (Mosaic rejects i1 cond results)
+            return sip, anchor, op, jnp.int32(0)
+
+        def with_match():
+            mip = sip
+            mpos = cand
+            # backward extension over pending literals
+            def b_cond(s):
+                a, b_, _ = s
+                return (a > anchor) & (b_ > 0) & (rd_b(a - 1) == rd_b(b_ - 1))
+
+            def b_body(s):
+                a, b_, l = s
+                return a - 1, b_ - 1, l + 1
+
+            mip, mpos, back = jax.lax.while_loop(
+                b_cond, b_body, (mip, mpos, jnp.int32(0)))
+
+            # forward extension: words then bytes
+            def w_cond(s):
+                l, active = s
+                return active != 0
+
+            def w_body(s):
+                l, _ = s
+                room = mip + l + 4 <= matchlimit
+                eq = room & (rd_w(mip + l) == rd_w(mpos + l))
+                return jnp.where(eq, l + 4, l), eq.astype(I32)
+
+            mlen, _ = jax.lax.while_loop(
+                w_cond, w_body, (jnp.int32(4) + back, jnp.int32(1)))
+
+            def by_cond(s):
+                l, active = s
+                return active != 0
+
+            def by_body(s):
+                l, _ = s
+                room = mip + l < matchlimit
+                eq = room & (rd_b(mip + l) == rd_b(mpos + l))
+                return jnp.where(eq, l + 1, l), eq.astype(I32)
+
+            mlen, _ = jax.lax.while_loop(by_cond, by_body,
+                                         (mlen, jnp.int32(1)))
+
+            op2 = emit_sequence(op, anchor, mip, mpos, mlen)
+            nip = mip + mlen
+            # seed one intermediate hash (reference: lz4.c inserts ip-2)
+            u2 = rd_w(nip - 2)
+            tab_ref[hash4(u2)] = nip - 2 + 1
+            return nip, nip, op2, (op2 > out_limit).astype(I32)
+
+        ip, anchor, op, overflow = jax.lax.cond(found != 0, with_match,
+                                                no_match)
+        return ip, anchor, op, overflow
+
+    ip0 = jnp.int32(0)
+    state = (ip0, ip0, jnp.int32(0), (n < 0).astype(I32))
+    # blocks smaller than 13 bytes cannot contain a match
+    state = jax.lax.while_loop(cond, body, state)
+    _, anchor, op, overflow = state
+
+    # final literals
+    def final_ok():
+        return emit_sequence(op, anchor, n, jnp.int32(0), jnp.int32(0))
+
+    op = jax.lax.cond(
+        (overflow != 0) | (op + (n - anchor) + (n - anchor) // 255 + 16 > O),
+        lambda: O,  # overflowed: signal incompressible
+        final_ok)
+
+    total_ref[0] = op
+    ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
+                        interpret: bool = False):
+    """Encode one LZ4 block with the Pallas kernel.
+
+    data: (N,) uint8 zero-padded, N % 4 == 0; n: scalar int32 true length.
+    Returns (out (N + N//255 + 64,) uint8, total, ok). ok False =>
+    incompressible (store raw).
+    """
+    N = data.shape[0]
+    assert N % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    # 8 bytes of tail slack so unaligned word reads near n never hit the
+    # clip guard
+    data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
+    dw = pack_words(data)
+    ow, total, ok = pl.pallas_call(
+        _encode_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((CAP // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32)],
+        interpret=interpret,
+    )(dw, jnp.reshape(n.astype(I32), (1,)))
+    return unpack_words(ow), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_batch_pallas(data: jnp.ndarray, lens: jnp.ndarray,
+                        interpret: bool = False):
+    """Batch encode via lax.map — one block per step on the scalar core
+    (see decode_batch_pallas for why not vmap)."""
+    fn = functools.partial(encode_block_pallas, interpret=interpret)
+    return jax.lax.map(lambda args: fn(*args), (data, lens))
+
+
+def encode_block_host(data: bytes, interpret: bool | None = None):
+    """Host wrapper (testing); returns compressed bytes or None when the
+    block is incompressible."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = max(16, (len(data) + 3) & ~3)
+    buf = np.zeros(N, dtype=np.uint8)
+    buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+    out, total, ok = encode_block_pallas(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=interpret)
+    if len(data) > 0 and not bool(ok):
+        return None
+    if len(data) == 0:
+        return b"\x00"
+    return np.asarray(out)[: int(total)].tobytes()

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,18 @@ from ..ops import decode_jax, encode_jax
 from . import mesh as mesh_mod
 
 EMPTY_BLOCK = b"\x00"  # 1-byte literals-only token: decodes to b""
+
+
+def _use_pallas() -> bool:
+    """Pallas SMEM kernels are the fast path on real TPUs; the XLA array
+    formulation is the portable fallback (CPU/GPU/interpret, and the
+    dictionary paths the kernels don't cover yet)."""
+    if os.environ.get("PLZ4_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _pow2(n: int) -> int:
@@ -82,7 +95,13 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
             a, l, da, dl, level=level)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
-        out, totals, compressible = encode_jax.encode_batch(a, l, level=level)
+        if _use_pallas():
+            from ..ops import encode_pallas
+
+            out, totals, compressible = encode_pallas.encode_batch_pallas(a, l)
+        else:
+            out, totals, compressible = encode_jax.encode_batch(
+                a, l, level=level)
     out = np.asarray(jax.device_get(out))
     totals = np.asarray(totals)
     compressible = np.asarray(compressible)
@@ -135,7 +154,13 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
             out_cap=block_size, dict_cap=D)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
-        out, n_out, ok = decode_jax.decode_batch(a, l, out_cap=block_size)
+        if _use_pallas():
+            from ..ops import decode_pallas
+
+            out, n_out, ok = decode_pallas.decode_batch_pallas(
+                a, l, out_cap=block_size)
+        else:
+            out, n_out, ok = decode_jax.decode_batch(a, l, out_cap=block_size)
 
     out = np.asarray(jax.device_get(out))
     n_out = np.asarray(n_out)
