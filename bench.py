@@ -150,6 +150,9 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
             c = jnp.where(pick, c0, c1)
             t = jnp.where(pick, t0_, t1_)
             d = jnp.where(pick, d0, d1)
+            # perturb a dead padding byte so the loop body cannot be
+            # hoisted (the decoder never reads past clen)
+            c = c.at[:, -1].set((i & 255).astype(jnp.uint8))
             dec, n_out, ok = dec_fn(c, t)
             good = jnp.all(ok & (n_out == l) & jnp.all(dec == d, axis=-1))
             return acc + jnp.sum(n_out), bad | ~good
