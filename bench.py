@@ -192,9 +192,11 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     _, t_enc_all = timed(lambda: int(enc_k(data, lens, K_ENC, True)))
     t_enc = max(t_enc_all - t_ovh, 1e-9) / K_ENC
 
-    res, t_dec_all = timed(
-        lambda: dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True))
-    bad = bool(res[1])
+    def run_dec():
+        acc, bad = dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True)
+        return int(acc), bool(bad)  # device_get = true sync
+
+    (_, bad), t_dec_all = timed(run_dec)
     t_dec = max(t_dec_all - t_ovh, 1e-9) / K_RT
     assert not bad, "device round-trip mismatch"
 

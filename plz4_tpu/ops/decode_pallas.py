@@ -214,6 +214,153 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
     ok_ref[0] = ok.astype(I32)
 
 
+def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
+    """Dictionary-window variant: meta_ref = [clen, dlen]; dw_ref holds the
+    window right-aligned in packed words (logical dict byte -k is physical
+    byte Wd*4 - k). Match copies that reach before the block start read
+    from the window (reference: LZ4_decompress_safe_usingDict,
+    compress/decompress.go:127-143)."""
+    Wc = cw_ref.shape[0]
+    Wo = ow_ref.shape[0]
+    Wd = dw_ref.shape[0]
+    C = Wc * 4
+    N = Wo * 4
+    DB = Wd * 4
+    clen = meta_ref[0]
+    dlen = meta_ref[1]
+
+    def rd_c(p):
+        p = jnp.clip(p, 0, C - 1)
+        w = cw_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def rd_o(p):
+        p = jnp.clip(p, 0, N - 1)
+        w = ow_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def rd_d(k):
+        """Dict byte k positions before the block start (k >= 1)."""
+        p = jnp.clip(DB - k, 0, DB - 1)
+        w = dw_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def wr_o(p, v):
+        p = jnp.clip(p, 0, N - 1)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        w = ow_ref[idx]
+        ow_ref[idx] = (w & (jnp.int32(-1) ^ (255 << sh))) | (v << sh)
+
+    def read_varint(ip, base):
+        def vcond(s):
+            _, _, last = s
+            return last == 255
+
+        def vbody(s):
+            total, p, _ = s
+            b = rd_c(p)
+            return total + b, p + 1, b
+
+        total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
+        return total, p
+
+    def cond(state):
+        _, _, _, done = state
+        return jnp.logical_not(done)
+
+    def body(state):
+        ip, op, ok, _ = state
+        bad = ip >= clen
+        token = rd_c(ip)
+        ip = ip + 1
+
+        lit_len = token >> 4
+        lit_len, ip = jax.lax.cond(
+            lit_len == 15, lambda: read_varint(ip, 15),
+            lambda: (lit_len, ip))
+        bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
+
+        def lcopy(i, _):
+            wr_o(op + i, rd_c(ip + i))
+            return 0
+
+        jax.lax.fori_loop(0, jnp.where(bad, 0, lit_len), lcopy, 0)
+        ip = ip + lit_len
+        op = op + lit_len
+
+        done = (ip >= clen) | bad
+
+        def do_match(ip, op, bad):
+            off = rd_c(ip) | (rd_c(ip + 1) << 8)
+            ip = ip + 2
+            bad = bad | (ip > clen) | (off == 0)
+            mlen = token & 15
+            mlen, ip = jax.lax.cond(
+                mlen == 15, lambda: read_varint(ip, 15),
+                lambda: (mlen, ip))
+            mlen = mlen + 4
+            bad = bad | (op + mlen > N) | (off > op + dlen)
+
+            def mcopy(i, _):
+                src = op - off + i
+                v = jax.lax.cond(src < 0, lambda: rd_d(-src),
+                                 lambda: rd_o(src))
+                wr_o(op + i, v)
+                return 0
+
+            jax.lax.fori_loop(0, jnp.where(bad, 0, mlen), mcopy, 0)
+            return ip, op + jnp.where(bad, 0, mlen), bad
+
+        ip, op, bad = jax.lax.cond(
+            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
+        return ip, op, ok & jnp.logical_not(bad), done | bad
+
+    ip, op, ok, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
+    ok = ok & (ip == clen)
+    n_out_ref[0] = op
+    ok_ref[0] = ok.astype(I32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_cap", "interpret"))
+def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
+                             dict_buf: jnp.ndarray, dlen: jnp.ndarray,
+                             out_cap: int, interpret: bool = False):
+    """Decode one block with a dictionary window.
+
+    dict_buf: (D,) uint8 right-aligned window, D % 4 == 0.
+    """
+    C = comp.shape[0]
+    D = dict_buf.shape[0]
+    assert C % 4 == 0 and out_cap % 4 == 0 and D % 4 == 0
+    comp = jnp.concatenate([comp, jnp.zeros((8,), dtype=comp.dtype)])
+    cw = pack_words(comp)
+    dw = pack_words(dict_buf)
+    meta = jnp.stack([clen.astype(I32), dlen.astype(I32)])
+    ow, n_out, ok = pl.pallas_call(
+        _decode_dict_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((out_cap // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(cw, meta, dw)
+    return unpack_words(ow), n_out[0], ok[0] != 0
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
 def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
                         interpret: bool = False):

@@ -48,6 +48,18 @@ def _decode_batch_dict(comp, clens, dlens, dict_buf, out_cap, dict_cap):
         comp, clens, dict_buf, dlens)
 
 
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _decode_batch_dict_pallas(comp, clens, dict_buf, dlen, out_cap):
+    from ..ops import decode_pallas
+
+    def one(args):
+        c, l = args
+        return decode_pallas.decode_block_pallas_dict(
+            c, l, dict_buf, dlen, out_cap=out_cap)
+
+    return jax.lax.map(one, (comp, clens))
+
+
 def _shard_args(mesh, *arrays):
     if mesh is None:
         return arrays
@@ -149,9 +161,16 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
         dbuf = np.zeros((D,), dtype=np.uint8)
         dbuf[D - len(dict_):] = np.frombuffer(dict_, dtype=np.uint8)
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
-        out, n_out, ok = _decode_batch_dict(
-            a, l, jnp.int32(len(dict_)), jnp.asarray(dbuf),
-            out_cap=block_size, dict_cap=D)
+        if _use_pallas():
+            from ..ops import decode_pallas
+
+            out, n_out, ok = _decode_batch_dict_pallas(
+                a, l, jnp.asarray(dbuf), jnp.int32(len(dict_)),
+                out_cap=block_size)
+        else:
+            out, n_out, ok = _decode_batch_dict(
+                a, l, jnp.int32(len(dict_)), jnp.asarray(dbuf),
+                out_cap=block_size, dict_cap=D)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
         if _use_pallas():
