@@ -100,24 +100,20 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
             ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
 
     def wr_o_word(p, v):
-        """Unaligned 4-byte write (read-modify-write on two words)."""
+        """Unaligned 4-byte write (branchless two-word read-modify-write:
+        for sh == 0 the masks degenerate to a plain store + no-op, so no
+        branch sits on the scalar critical path)."""
         p = jnp.clip(p, 0, N - 5)
         idx = p >> 2
+        idx2 = jnp.minimum(idx + 1, Wo - 1)
         sh = (p & 3) * 8
-
-        def aligned():
-            ow_ref[idx] = v
-
-        def unaligned():
-            lo = ow_ref[idx]
-            hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
-            lo_mask = (1 << sh) - 1
-            ow_ref[idx] = (lo & lo_mask) | (v << sh)
-            hi_keep = jnp.int32(-1) ^ ((1 << sh) - 1)
-            ow_ref[jnp.minimum(idx + 1, Wo - 1)] = (
-                (hi & hi_keep) | ((v >> (32 - sh)) & ((1 << sh) - 1)))
-
-        jax.lax.cond(sh == 0, aligned, unaligned)
+        lo_mask = (1 << sh) - 1
+        lo = ow_ref[idx]
+        hi = ow_ref[idx2]
+        ow_ref[idx] = (lo & lo_mask) | (v << sh)
+        # sh == 0: mask is 0 so the second store rewrites hi unchanged
+        v_hi = jax.lax.shift_right_logical(v, 32 - sh) & lo_mask
+        ow_ref[idx2] = (hi & (jnp.int32(-1) ^ lo_mask)) | v_hi
 
     def read_varint(ip, base):
         def vcond(s):

@@ -66,23 +66,18 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
 
     def wr_w(p, v):
         """Unaligned 4-byte write to output (wild: may clobber 3 bytes past
-        the logical position — callers always overwrite forward)."""
+        the logical position — callers always overwrite forward).
+        Branchless two-word RMW: sh == 0 degenerates to store + no-op."""
         p = jnp.clip(p, 0, O - 5)
         idx = p >> 2
+        idx2 = jnp.minimum(idx + 1, Wo - 1)
         sh = (p & 3) * 8
-
-        def aligned():
-            ow_ref[idx] = v
-
-        def unaligned():
-            lo = ow_ref[idx]
-            hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
-            ow_ref[idx] = (lo & ((1 << sh) - 1)) | (v << sh)
-            keep = jnp.int32(-1) ^ ((1 << sh) - 1)
-            v_hi = jax.lax.shift_right_logical(v, 32 - sh) & ((1 << sh) - 1)
-            ow_ref[jnp.minimum(idx + 1, Wo - 1)] = (hi & keep) | v_hi
-
-        jax.lax.cond(sh == 0, aligned, unaligned)
+        lo_mask = (1 << sh) - 1
+        lo = ow_ref[idx]
+        hi = ow_ref[idx2]
+        ow_ref[idx] = (lo & lo_mask) | (v << sh)
+        v_hi = jax.lax.shift_right_logical(v, 32 - sh) & lo_mask
+        ow_ref[idx2] = (hi & (jnp.int32(-1) ^ lo_mask)) | v_hi
 
     def hash4(u32):
         return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HASH_LOG)
