@@ -74,8 +74,10 @@ inline uint8_t* emit_sequence(uint8_t* op, uint8_t* const oend,
                               const uint8_t* anchor, int lit_len,
                               uint32_t offset, int match_len /* full, >=4 */) {
     // worst case bytes: token + litlen ext + literals + 2 + mlen ext
-    size_t worst = 1 + (size_t)lit_len / 255 + 1 + (size_t)lit_len + 2 +
-                   (size_t)(match_len - MINMATCH) / 255 + 1;
+    // (shift-based upper bound avoids integer division in the hot path)
+    size_t worst = 1 + ((size_t)lit_len >> 8) + ((size_t)lit_len >> 16) + 2 +
+                   (size_t)lit_len + 2 + ((size_t)(match_len - MINMATCH) >> 8) +
+                   ((size_t)(match_len - MINMATCH) >> 16) + 2 + 8;
     if ((size_t)(oend - op) < worst) return nullptr;
     uint8_t* token = op++;
     if (lit_len >= 15) {
@@ -89,7 +91,17 @@ inline uint8_t* emit_sequence(uint8_t* op, uint8_t* const oend,
     } else {
         *token = (uint8_t)(lit_len << 4);
     }
-    std::memcpy(op, anchor, lit_len);
+    {   // wild 8-byte literal copy (slack reserved in `worst`)
+        uint8_t* o = op;
+        const uint8_t* s = anchor;
+        int left = lit_len;
+        while (left > 0) {
+            std::memcpy(o, s, 8);
+            o += 8;
+            s += 8;
+            left -= 8;
+        }
+    }
     op += lit_len;
     write16(op, (uint16_t)offset);
     op += 2;
@@ -110,7 +122,8 @@ inline uint8_t* emit_sequence(uint8_t* op, uint8_t* const oend,
 
 inline uint8_t* emit_last_literals(uint8_t* op, uint8_t* const oend,
                                    const uint8_t* anchor, int lit_len) {
-    size_t worst = 1 + (size_t)lit_len / 255 + 1 + (size_t)lit_len;
+    size_t worst = 1 + ((size_t)lit_len >> 8) + ((size_t)lit_len >> 16) + 2 +
+                   (size_t)lit_len;
     if ((size_t)(oend - op) < worst) return nullptr;
     uint8_t* token = op++;
     if (lit_len >= 15) {
@@ -249,9 +262,11 @@ struct ChainFinder {
         uint32_t cand = head[h];
         int best = 0;
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
+        uint32_t first4 = read32(ip);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
             const uint8_t* mp = wbase + (cand - 1);
-            if (mp[best] == ip[best]) {  // fast reject using best-so-far byte
+            // two fast rejects: best-so-far byte, then the first 4 bytes
+            if (mp[best] == ip[best] && read32(mp) == first4) {
                 int len = count_match(ip, mp, matchlimit);
                 if (len > best) {
                     best = len;
@@ -554,7 +569,20 @@ LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
             }
         } else {
             const uint8_t* mp = op - offset;
-            if (offset >= mlen) {
+            if (offset >= 8 && (size_t)(oend - op) >= (size_t)mlen + 8) {
+                // overlap-safe wild copy, 8 bytes per step (offset >= 8
+                // guarantees the source stays behind the write cursor)
+                uint8_t* o = op;
+                const uint8_t* s = mp;
+                int left = (int)mlen;
+                do {
+                    std::memcpy(o, s, 8);
+                    o += 8;
+                    s += 8;
+                    left -= 8;
+                } while (left > 0);
+                op += mlen;
+            } else if (offset >= mlen) {
                 std::memcpy(op, mp, mlen);
                 op += mlen;
             } else {
