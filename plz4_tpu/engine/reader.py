@@ -25,6 +25,7 @@ from .. import errors as zerr
 from .. import native
 from ..frame import block_io, header as hdr
 from ..opts import WINDOW_SIZE, Options
+from .writer import _HashWorker
 
 
 def _decompress_job(stored: bytes, uncompressed: bool, cap: int,
@@ -205,7 +206,10 @@ class FrameReader:
             self._check_content = False  # partial read: no content checks
         self._first_frame = False
 
-        self._hasher = (native.Xxh32Stream()
+        # content hash runs on a dedicated thread, fed in consumption
+        # order — overlaps the serial reduction with parallel decompression
+        # (reference: AsyncHash, async/hash.go:14-51)
+        self._hasher = (_HashWorker()
                         if (h.content_checksum and self._check_content)
                         else None)
         # dynamic worker scaling by declared content size
@@ -334,5 +338,7 @@ class FrameReader:
         if self._pool is not None:
             self._pool.shutdown(wait=True, cancel_futures=True)
             self._pool = None
+        if self._hasher is not None:
+            self._hasher.stop()
         self._pending.clear()
         self._device_queue.clear()
