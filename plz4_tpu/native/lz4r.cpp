@@ -265,8 +265,12 @@ struct ChainFinder {
         uint32_t first4 = read32(ip);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
             const uint8_t* mp = wbase + (cand - 1);
-            // two fast rejects: best-so-far byte, then the first 4 bytes
-            if (mp[best] == ip[best] && read32(mp) == first4) {
+            // reject with the 4 bytes straddling the best-so-far boundary:
+            // a longer match must agree there (then verify the head too)
+            bool plausible =
+                best >= 4 ? read32(mp + best - 3) == read32(ip + best - 3)
+                          : (mp[best] == ip[best] && read32(mp) == first4);
+            if (plausible) {
                 int len = count_match(ip, mp, matchlimit);
                 if (len > best) {
                     best = len;
@@ -433,7 +437,8 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
                 continue;
             }
             // lazy matching: would starting one byte later be better?
-            while (ip + 1 <= mflimit) {
+            // (long matches are rarely beaten — skip the re-search)
+            while (mlen < 64 && ip + 1 <= mflimit) {
                 const uint8_t* match2 = nullptr;
                 int mlen2 = cf.find(ip + 1, matchlimit, attempts, &match2);
                 if (mlen2 > mlen + 1) {  // better enough to defer
