@@ -234,6 +234,42 @@ def main() -> None:
         _log(f"engine parallel=-1: encode {gb / t_we:.3f} GB/s, "
              f"decode {gb / t_wd:.3f} GB/s "
              f"(frame ratio {len(data) / len(comp_frame):.3f})")
+
+        # remaining BASELINE.md configs (stderr context): linked L6, HC 9/12,
+        # dictionary small-record workload
+        sub = data[: 8 << 20]
+        for name, kw in (
+            ("linked-l6", dict(block_linked=True, level=6,
+                               block_size_idx=4)),
+            ("hc-9", dict(level=9, block_size_idx=4)),
+            ("hc-12", dict(level=12, block_size_idx=4)),
+        ):
+            t0 = time.perf_counter()
+            c = plz4.compress(sub, parallel=-1, content_checksum=False, **kw)
+            te = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            assert plz4.decompress(c) == sub
+            td = time.perf_counter() - t0
+            _log(f"config {name}: ratio {len(sub) / len(c):.3f}, "
+                 f"enc {len(sub) / 1e6 / te:.1f} MB/s, "
+                 f"dec {len(sub) / 1e6 / td:.1f} MB/s")
+        # dictionary config: 1 KiB log-line records with a shared dict
+        dict_ = data[: 64 << 10]
+        recs = [data[i : i + 1024] for i in range(0, 1 << 20, 1024)]
+        ctx = plz4.DictContext(dict_)
+        t0 = time.perf_counter()
+        encoded = [ctx.compress_block(r) for r in recs]
+        te = time.perf_counter() - t0
+        enc_bytes = sum(len(e) for e in encoded)
+        t0 = time.perf_counter()
+        for e, r in zip(encoded, recs):
+            assert plz4.decompress_block(e, dictionary=dict_,
+                                         dst_size=1024) == r
+        td = time.perf_counter() - t0
+        n_bytes = sum(len(r) for r in recs)
+        _log(f"config dict-records: ratio {n_bytes / enc_bytes:.3f}, "
+             f"enc {n_bytes / 1e6 / te:.1f} MB/s, "
+             f"dec {n_bytes / 1e6 / td:.1f} MB/s")
     except Exception as e:  # pragma: no cover
         _log(f"engine bench skipped: {e}")
 

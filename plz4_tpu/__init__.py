@@ -10,6 +10,7 @@ C++ host codec for the serial/sync paths.
 
 from . import errors  # noqa: F401
 from .api import (  # noqa: F401
+    DictContext,
     Reader,
     Writer,
     compress,

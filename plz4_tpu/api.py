@@ -53,6 +53,22 @@ def decompress(data: bytes, **opts) -> bytes:
 # Raw block API (reference: plz4_block.go)
 # ---------------------------------------------------------------------------
 
+class DictContext:
+    """Reusable dictionary for the raw block API: builds the window's match
+    tables once so many small records compress without per-call dictionary
+    loading (reference analog: attached dict contexts,
+    compress/indie.go:235-287)."""
+
+    def __init__(self, dictionary: bytes) -> None:
+        self._ctx = native.DictContext(dictionary)
+
+    def compress_block(self, src: bytes, *, level: int = 1) -> bytes:
+        return self._ctx.compress(src, level=clamp_level(level))
+
+    def decompress_block(self, src: bytes, *, dst_size: int) -> bytes:
+        return self._ctx.decompress(src, dst_size)
+
+
 def compress_block_bound(src_len: int) -> int:
     """Max compressed size of a block (reference: CompressBlockBound,
     plz4_block.go:78)."""

@@ -67,6 +67,14 @@ def _load():
         lib.lz4r_decompress.argtypes = [
             u8p, ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int,
         ]
+        lib.lz4r_dict_create.restype = ctypes.c_void_p
+        lib.lz4r_dict_create.argtypes = [u8p, ctypes.c_int]
+        lib.lz4r_dict_compress.restype = ctypes.c_int
+        lib.lz4r_dict_compress.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.lz4r_dict_free.argtypes = [ctypes.c_void_p]
         lib.lz4r_xxh32.restype = ctypes.c_uint32
         lib.lz4r_xxh32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
         lib.lz4r_xxh32_create.restype = ctypes.c_void_p
@@ -154,6 +162,43 @@ def xxh32(data, seed: int = 0) -> int:
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             data.nbytes, seed))
     return int(lib.lz4r_xxh32(_as_u8p(data), len(data), seed))
+
+
+class DictContext:
+    """Reusable compression dictionary (reference analog: the attached-dict
+    compressor contexts, compress/indie.go:235-263). Build once, compress
+    many small records against the same 64 KiB window without re-loading
+    it each call."""
+
+    def __init__(self, dictionary: bytes) -> None:
+        self._lib = _load()
+        self._dict = bytes(dictionary[-65536:])
+        self._ctx = self._lib.lz4r_dict_create(
+            _as_u8p(self._dict), len(self._dict))
+
+    @property
+    def dictionary(self) -> bytes:
+        return self._dict
+
+    def compress(self, src: bytes, level: int = 1) -> bytes:
+        cap = self._lib.lz4r_compress_bound(len(src))
+        dst = np.empty(cap, dtype=np.uint8)
+        n = self._lib.lz4r_dict_compress(
+            self._ctx, _as_u8p(src), len(src),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            int(level))
+        if n <= 0:
+            raise zerr.ErrCompress
+        return dst[:n].tobytes()
+
+    def decompress(self, src: bytes, dst_cap: int) -> bytes:
+        return decompress(src, dst_cap, dict_=self._dict)
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self._lib.lz4r_dict_free(self._ctx)
+        except Exception:
+            pass
 
 
 class Xxh32Stream:

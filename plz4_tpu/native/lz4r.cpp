@@ -148,8 +148,13 @@ inline uint8_t* emit_last_literals(uint8_t* op, uint8_t* const oend,
 // memory. Emits only for positions >= src. Returns compressed size, or 0 if
 // output would exceed dst_cap (incompressible signal), or -1 on bad args.
 // ---------------------------------------------------------------------------
-int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
-                    uint8_t* dst, int dst_cap, int accel) {
+// tab: caller-provided 2^16-entry table. If preloaded==false and a window
+// prefix exists, dictionary positions are inserted here first (reference
+// analog: LZ4_loadDict; preloaded==true is the LZ4_attach_dictionary
+// amortization — the caller reuses a prebuilt table).
+int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
+                        int src_size, uint8_t* dst, int dst_cap, int accel,
+                        uint32_t* tab, bool preloaded) {
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
@@ -167,15 +172,14 @@ int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
     }
 
     const int hashlog = 16;
-    std::vector<uint32_t> tab((size_t)1 << hashlog, 0);
 
     if (src_size >= MFLIMIT + 1) {
         if (accel < 1) accel = 1;
         const int skip_strength = 6;
-        // preload dictionary positions into the hash table (reference analog:
-        // LZ4_loadDict semantics — window extends into [wbase, src))
-        for (const uint8_t* dp = wbase; dp < src; ++dp) {
-            tab[hash4(read32(dp), hashlog)] = (uint32_t)(dp - wbase);
+        if (!preloaded) {
+            for (const uint8_t* dp = wbase; dp < src; ++dp) {
+                tab[hash4(read32(dp), hashlog)] = (uint32_t)(dp - wbase);
+            }
         }
         // seed first position
         tab[hash4(read32(ip), hashlog)] = (uint32_t)(ip - wbase);
@@ -220,6 +224,13 @@ last_literals:
     op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
     if (!op) return 0;
     return (int)(op - dst);
+}
+
+int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
+                    uint8_t* dst, int dst_cap, int accel) {
+    std::vector<uint32_t> tab((size_t)1 << 16, 0);
+    return compress_greedy_tab(wbase, src, src_size, dst, dst_cap, accel,
+                               tab.data(), false);
 }
 
 // ---------------------------------------------------------------------------
@@ -597,6 +608,55 @@ LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
     }
     return (int)(op - dst);
 }
+
+// ---------------------------------------------------------------------------
+// Reusable dictionary context (reference analog: LZ4_attach_dictionary /
+// DictCtx, clz4/clz4.go:96-149): the window's hash table is built once and
+// memcpy'd per block, amortizing dict loading across many small records.
+// ---------------------------------------------------------------------------
+
+struct Lz4rDictCtx {
+    std::vector<uint8_t> scratch;   // [window | src workspace]
+    size_t window_size;
+    std::vector<uint32_t> tab;      // prebuilt greedy table over the window
+};
+
+LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
+    auto* c = new Lz4rDictCtx();
+    if (dict_size > 65536) {
+        dict += dict_size - 65536;
+        dict_size = 65536;
+    }
+    if (dict_size < 0) dict_size = 0;
+    c->window_size = (size_t)dict_size;
+    c->scratch.assign(dict, dict + dict_size);
+    c->tab.assign((size_t)1 << 16, 0);
+    for (size_t i = 0; i + 4 <= c->window_size; ++i) {
+        c->tab[hash4(read32(c->scratch.data() + i), 16)] = (uint32_t)i;
+    }
+    return c;
+}
+
+LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
+                                int src_size, uint8_t* dst, int dst_cap,
+                                int level) {
+    if (level > 1) {
+        // HC levels keep the straightforward per-call window path
+        return lz4r_compress(src, src_size, dst, dst_cap, level,
+                             c->scratch.data(), (int)c->window_size);
+    }
+    c->scratch.resize(c->window_size + (size_t)src_size);
+    std::memcpy(c->scratch.data() + c->window_size, src, src_size);
+    // working copy of the prebuilt table (memcpy beats re-hashing 64K
+    // positions ~15x)
+    static thread_local std::vector<uint32_t> work;
+    work.assign(c->tab.begin(), c->tab.end());
+    const uint8_t* wbase = c->scratch.data();
+    return compress_greedy_tab(wbase, wbase + c->window_size, src_size, dst,
+                               dst_cap, 1, work.data(), true);
+}
+
+LZ4R_API void lz4r_dict_free(Lz4rDictCtx* c) { delete c; }
 
 // ---------------------------------------------------------------------------
 // xxHash-32

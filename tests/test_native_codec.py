@@ -132,3 +132,49 @@ def test_incompressible_detection():
     # With cap below input size, random data must signal incompressible
     data = make_incompressible(65536)
     assert native.compress_into(data, dst_cap=len(data) - 1, level=1) is None
+
+
+def test_dict_context_reuse():
+    """Reusable dict context must match per-call dict compression output
+    semantics and round-trip, while amortizing window loading."""
+    import plz4_tpu as plz4
+
+    dict_ = make_incompressible(65536, seed=21)
+    ctx = plz4.DictContext(dict_)
+    # note: with a full 64 KiB window, bytes at its very start sit at
+    # distance 65536 — beyond the LZ4 max offset — so start past them
+    for i in range(1, 20):
+        rec = dict_[i * 1000 : i * 1000 + 900] + bytes([i]) * 124
+        comp = ctx.compress_block(rec)
+        assert ctx.decompress_block(comp, dst_size=len(rec)) == rec
+        # must actually exploit the dictionary
+        assert len(comp) < len(rec) // 2
+
+
+def test_dict_context_matches_plain_dict_path():
+    import plz4_tpu as plz4
+
+    dict_ = make_incompressible(8192, seed=22)
+    rec = dict_[-1500:]
+    ctx = plz4.DictContext(dict_)
+    comp_ctx = ctx.compress_block(rec)
+    assert native.decompress(comp_ctx, len(rec), dict_=dict_) == rec
+
+
+def test_dict_context_speedup():
+    import time
+
+    import plz4_tpu as plz4
+
+    dict_ = make_compressible(65536, seed=23)
+    recs = [make_compressible(1024, seed=100 + i) for i in range(50)]
+    t0 = time.perf_counter()
+    for r in recs:
+        plz4.compress_block(r, dictionary=dict_)
+    t_plain = time.perf_counter() - t0
+    ctx = plz4.DictContext(dict_)
+    t0 = time.perf_counter()
+    for r in recs:
+        ctx.compress_block(r)
+    t_ctx = time.perf_counter() - t0
+    assert t_ctx < t_plain  # amortized table must win
