@@ -275,8 +275,18 @@ def main() -> None:
 
     metric = ("lz4 frame roundtrip (encode+decode) GB/s per chip, "
               "64KiB blocks, level 1, Silesia-like corpus")
+    # the tunnel to the remote chip sporadically stalls for minutes; a
+    # watchdog guarantees the bench always emits its JSON line
+    import signal
+
+    def _on_alarm(sig, frame):
+        raise TimeoutError("device bench watchdog expired")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(os.environ.get("PLZ4_BENCH_TIMEOUT", "420")))
     try:
         enc_gbps, dec_gbps, ratio = bench_device(blocks)
+        signal.alarm(0)
         device_rt = 2 / (1 / enc_gbps + 1 / dec_gbps)
         _log(f"device: encode {enc_gbps:.4f} GB/s, "
              f"decode {dec_gbps:.4f} GB/s, roundtrip {device_rt:.4f} "
@@ -288,6 +298,7 @@ def main() -> None:
             "vs_baseline": round(device_rt / native_rt, 4),
         }))
     except BaseException as e:  # device/tunnel fault: still report something
+        signal.alarm(0)
         _log(f"device bench failed ({type(e).__name__}: {e}); "
              "reporting host-backend throughput")
         print(json.dumps({
