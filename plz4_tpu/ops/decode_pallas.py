@@ -145,15 +145,36 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
         bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
 
         # wild word copy (may overshoot <=3 bytes; later writes overwrite)
-        # unless too close to the end of the output buffer
+        # unless too close to the end of the output buffer. Source and
+        # destination words are carried across iterations: 2 SMEM loads +
+        # 2 stores per 4 bytes instead of 4 loads + 2 stores.
         lit_n = jnp.where(bad, 0, lit_len)
         use_words = op + lit_n + 4 <= N
 
         def lit_words():
-            def wbody(t, _):
-                wr_o_word(op + t * 4, rd_c_word(ip + t * 4))
-                return 0
-            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody, 0)
+            s_idx = jnp.clip(ip, 0, C - 5) >> 2
+            s_sh = (ip & 3) * 8
+            d_p = jnp.clip(op, 0, N - 5)
+            d_idx = d_p >> 2
+            d_sh = (d_p & 3) * 8
+            d_mask = (1 << d_sh) - 1
+
+            def wbody(t, carry):
+                s_lo, d_lo = carry
+                s_hi = cw_ref[jnp.minimum(s_idx + t + 1, Wc - 1)]
+                v = jnp.where(
+                    s_sh == 0, s_lo,
+                    ((s_lo >> s_sh) & ((1 << (32 - s_sh)) - 1))
+                    | (s_hi << (32 - s_sh)))
+                d_hi = ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)]
+                ow_ref[d_idx + t] = (d_lo & d_mask) | (v << d_sh)
+                v_hi = jax.lax.shift_right_logical(v, 32 - d_sh) & d_mask
+                new_d_lo = (d_hi & (jnp.int32(-1) ^ d_mask)) | v_hi
+                ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)] = new_d_lo
+                return s_hi, new_d_lo
+
+            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody,
+                              (cw_ref[s_idx], ow_ref[d_idx]))
 
         def lit_bytes():
             def bbody(i, _):
@@ -179,9 +200,39 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
             bad = bad | (op + mlen > N) | (off > op)
 
             m_n = jnp.where(bad, 0, mlen)
-            # word copy is safe when the source word never overlaps the
-            # write cursor (off >= 4) and overshoot stays in bounds
-            use_words = (off >= 4) & (op + m_n + 4 <= N)
+            # off >= 8: carried-word copy (source words cannot alias the
+            # freshly written destination words). off in [4,8): fresh-read
+            # word copy (source may read bytes this match just wrote — the
+            # per-iteration reload keeps it correct). off < 4: byte loop.
+            room = op + m_n + 4 <= N
+            use_carried = (off >= 8) & room
+            use_words = (off >= 4) & room
+
+            def m_carried():
+                sp = jnp.clip(op - off, 0, N - 5)
+                s_idx = sp >> 2
+                s_sh = (sp & 3) * 8
+                d_p = jnp.clip(op, 0, N - 5)
+                d_idx = d_p >> 2
+                d_sh = (d_p & 3) * 8
+                d_mask = (1 << d_sh) - 1
+
+                def wbody(t, carry):
+                    s_lo, d_lo = carry
+                    s_hi = ow_ref[jnp.minimum(s_idx + t + 1, Wo - 1)]
+                    v = jnp.where(
+                        s_sh == 0, s_lo,
+                        ((s_lo >> s_sh) & ((1 << (32 - s_sh)) - 1))
+                        | (s_hi << (32 - s_sh)))
+                    d_hi = ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)]
+                    ow_ref[d_idx + t] = (d_lo & d_mask) | (v << d_sh)
+                    v_hi = jax.lax.shift_right_logical(v, 32 - d_sh) & d_mask
+                    new_d_lo = (d_hi & (jnp.int32(-1) ^ d_mask)) | v_hi
+                    ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)] = new_d_lo
+                    return s_hi, new_d_lo
+
+                jax.lax.fori_loop(0, (m_n + 3) >> 2, wbody,
+                                  (ow_ref[s_idx], ow_ref[d_idx]))
 
             def m_words():
                 def wbody(t, _):
@@ -195,7 +246,9 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
                     return 0
                 jax.lax.fori_loop(0, m_n, bbody, 0)
 
-            jax.lax.cond(use_words, m_words, m_bytes)
+            jax.lax.cond(
+                use_carried, m_carried,
+                lambda: jax.lax.cond(use_words, m_words, m_bytes))
             return ip, op + m_n, bad
 
         ip, op, bad = jax.lax.cond(
