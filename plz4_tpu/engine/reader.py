@@ -81,7 +81,16 @@ class FrameReader:
             out = bytearray()
             while len(out) < n:
                 if not self._buf:
-                    b = self._next_chunk()
+                    try:
+                        b = self._next_chunk()
+                    except BaseException as e:
+                        # deferred-error semantics: hand back what was
+                        # already decoded; the latched error surfaces on
+                        # the next call (reference: rdr/rdr.go:71-80)
+                        if out:
+                            self._latch(e)
+                            return bytes(out)
+                        raise
                     if not b:
                         break
                     self._buf = memoryview(b)

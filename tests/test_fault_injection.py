@@ -188,3 +188,19 @@ def test_corrupted_vs_truncated_distinction():
         assert False
     except zerr.Lz4Error as e:
         assert zerr.is_corrupted(e)
+
+
+def test_deferred_error_after_partial_read():
+    """When an error hits mid-read, already-decoded bytes are returned and
+    the error surfaces on the next call (reference: rd_test.go:648-661)."""
+    comp = bytearray(plz4.compress(PAYLOAD, block_size_idx=desc.BLOCK_IDX_64KB,
+                                   block_checksum=True,
+                                   content_checksum=False))
+    # corrupt a late block's checksum so early blocks decode fine
+    comp[-10] ^= 0xFF
+    r = plz4.Reader(io.BytesIO(bytes(comp)), parallel=0)
+    got = r.read(len(PAYLOAD))  # must return the early bytes, not raise
+    assert 0 < len(got) < len(PAYLOAD)
+    assert got == PAYLOAD[: len(got)]
+    with pytest.raises(Exception):
+        r.read(1)  # latched error surfaces now
