@@ -107,7 +107,10 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
             a, l, da, dl, level=level)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
-        if _use_pallas():
+        if _use_pallas() and level <= 2:
+            # pallas kernel implements the greedy (level 1-2 class) search;
+            # HC levels keep the multi-candidate array path so the level's
+            # ratio semantics hold on device too
             from ..ops import encode_pallas
 
             out, totals, compressible = encode_pallas.encode_batch_pallas(a, l)
