@@ -35,6 +35,15 @@ def _decompress_job(stored: bytes, uncompressed: bool, cap: int,
     return native.decompress(stored, cap, dict_=dict_)
 
 
+def _decompress_group(group: list, cap: int, dict_: bytes | None) -> list:
+    """Decompress several blocks in one task. The dict-free all-compressed
+    case runs as a single C batch call (one GIL release for the group)."""
+    if (dict_ is None and len(group) > 1
+            and all(not unc for (_, unc) in group)):
+        return native.decompress_batch([d for (d, _) in group], cap)
+    return [_decompress_job(data, unc, cap, dict_) for (data, unc) in group]
+
+
 class FrameReader:
     """Streaming LZ4 frame reader with the reference's full semantics."""
 
@@ -57,6 +66,7 @@ class FrameReader:
         self._blk_rdr: block_io.FrameBlockReader | None = None
         self._dispatch_done = True       # stored-block stream exhausted
         self._pending: deque = deque()   # in-flight decompress futures
+        self._ready: deque = deque()     # decoded blocks awaiting consumption
         self._device_queue: deque = deque()
         self._hasher: native.Xxh32Stream | None = None
         self._window = bytearray()
@@ -311,17 +321,30 @@ class FrameReader:
                     max_workers=self._parallel,
                     thread_name_prefix="plz4-decompress")
             submit = self._pool.submit
-        while len(self._pending) < self._budget and not self._dispatch_done:
-            blk = self._read_stored()
-            if blk is None:
+        # dispatch in small groups: one future covers several GIL-releasing
+        # C calls (the per-future overhead otherwise rivals the decompress)
+        from .writer import _group_size
+
+        group_n = _group_size(h.block_size_idx)
+        budget_groups = max(1, self._budget // group_n)
+        while len(self._pending) < budget_groups and not self._dispatch_done:
+            group = []
+            while len(group) < group_n and not self._dispatch_done:
+                blk = self._read_stored()
+                if blk is None:
+                    break
+                group.append((blk.data, blk.uncompressed))
+            if not group:
                 break
-            fut = submit(
-                _decompress_job, blk.data, blk.uncompressed, h.block_size,
-                self._frame_dict)
-            self._pending.append(fut)
+            self._pending.append(
+                submit(_decompress_group, group, h.block_size,
+                       self._frame_dict))
+        if self._ready:
+            return self._ready.popleft()
         if not self._pending:
             return None
-        return self._pending.popleft().result()
+        self._ready.extend(self._pending.popleft().result())
+        return self._ready.popleft()
 
     def _decode_device(self) -> bytes | None:
         h = self._hdr
@@ -350,4 +373,5 @@ class FrameReader:
         if self._hasher is not None:
             self._hasher.stop()
         self._pending.clear()
+        self._ready.clear()
         self._device_queue.clear()

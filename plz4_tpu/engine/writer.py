@@ -81,6 +81,31 @@ def _compress_job(src: bytes, dict_: bytes | None, level: int):
     return out, False
 
 
+def _compress_group(group: list) -> list:
+    """Compress several blocks in one task. The dict-free case runs as a
+    single C batch call (one GIL release covers the whole group)."""
+    if len(group) > 1 and all(d is None for (_, d, _) in group):
+        blocks = [src for (src, _, _) in group]
+        level = group[0][2]
+        cap = max((len(b) for b in blocks), default=1)
+        outs = native.compress_batch(blocks, cap_each=max(cap, 16),
+                                     level=level)
+        return [(src, True) if out is None or len(src) == 0 else (out, False)
+                for src, out in zip(blocks, outs)]
+    return [_compress_job(src, d, level) for (src, d, level) in group]
+
+
+def _group_size(block_size_idx: int) -> int:
+    from ..frame import descriptor as desc
+
+    return {
+        desc.BLOCK_IDX_64KB: 8,
+        desc.BLOCK_IDX_256KB: 4,
+        desc.BLOCK_IDX_1MB: 2,
+        desc.BLOCK_IDX_4MB: 1,
+    }[block_size_idx]
+
+
 class FrameWriter:
     """Streaming LZ4 frame writer with the reference's full semantics."""
 
@@ -106,6 +131,8 @@ class FrameWriter:
         self._pending: deque = deque()  # (future, src_len)
         # rolling window for linked mode; constant dict for independent mode
         self._window = bytearray(self._o.dictionary or b"")
+        self._group: list = []  # (src, dict, level) awaiting dispatch
+        self._group_n = _group_size(self._o.block_size_idx)
         self._use_device = self._o.backend == "device"
         self._device_stage: list = []  # (src, window) tuples
 
@@ -282,23 +309,31 @@ class FrameWriter:
             self._emit(stored, raw, len(src))
             return
 
+        # threaded path: blocks are dispatched in small groups so the
+        # future/GIL overhead amortizes (one task = several GIL-releasing
+        # C calls)
+        self._group.append((src, d, self._o.level))
+        if len(self._group) >= self._group_n:
+            self._submit_group()
+
+    def _submit_group(self) -> None:
+        if not self._group:
+            return
+        group = self._group
+        self._group = []
         if self._o.worker_pool is not None:
             # shared pool (reference: WithWorkerPool, plz4_opts.go:107-111)
-            fut = self._o.worker_pool.submit(
-                _compress_job, src, d, self._o.level)
-            self._pending.append((fut, len(src)))
-            self._drain(wait_all=False)
-            while len(self._pending) >= self._budget:
-                self._drain_one()
-            return
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(
-                max_workers=self._parallel,
-                thread_name_prefix="plz4-compress")
-        fut = self._pool.submit(_compress_job, src, d, self._o.level)
-        self._pending.append((fut, len(src)))
+            fut = self._o.worker_pool.submit(_compress_group, group)
+        else:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self._parallel,
+                    thread_name_prefix="plz4-compress")
+            fut = self._pool.submit(_compress_group, group)
+        self._pending.append((fut, [len(s) for s, _, _ in group]))
         self._drain(wait_all=False)
-        while len(self._pending) >= self._budget:
+        budget_groups = max(1, self._budget // max(1, self._group_n))
+        while len(self._pending) >= budget_groups:
             self._drain_one()
 
     def _device_batch_size(self) -> int:
@@ -327,11 +362,13 @@ class FrameWriter:
             self._emit(stored, raw, len(src))
 
     def _drain_one(self) -> None:
-        fut, src_len = self._pending.popleft()
-        stored, raw = fut.result()
-        self._emit(stored, raw, src_len)
+        fut, src_lens = self._pending.popleft()
+        for (stored, raw), src_len in zip(fut.result(), src_lens):
+            self._emit(stored, raw, src_len)
 
     def _drain(self, wait_all: bool) -> None:
+        if wait_all:
+            self._submit_group()
         while self._pending:
             fut, _ = self._pending[0]
             if not wait_all and not fut.done():
@@ -366,4 +403,5 @@ class FrameWriter:
         if self._hasher is not None:
             self._hasher.stop()
         self._pending.clear()
+        self._group = []
         self._device_stage = []

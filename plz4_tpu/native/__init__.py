@@ -67,6 +67,23 @@ def _load():
         lib.lz4r_decompress.argtypes = [
             u8p, ctypes.c_int, u8p, ctypes.c_int, u8p, ctypes.c_int,
         ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lz4r_compress_batch.argtypes = [
+            u8p, i64p, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int32, i32p,
+            ctypes.c_int,
+        ]
+        lib.lz4r_decompress_batch.argtypes = [
+            u8p, i64p, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int32, i32p,
+        ]
+        ppu8 = ctypes.POINTER(ctypes.c_char_p)
+        lib.lz4r_decompress_batch_ptrs.argtypes = [
+            ppu8, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int32, i32p,
+        ]
+        lib.lz4r_compress_batch_ptrs.argtypes = [
+            ppu8, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int32, i32p,
+            ctypes.c_int,
+        ]
         lib.lz4r_dict_create.restype = ctypes.c_void_p
         lib.lz4r_dict_create.argtypes = [u8p, ctypes.c_int]
         lib.lz4r_dict_compress.restype = ctypes.c_int
@@ -97,12 +114,15 @@ def available() -> bool:
 
 
 def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_uint8):
+    """Zero-copy pointer view of a bytes-like buffer (the C side never
+    mutates inputs). Callers must keep `buf` alive across the call — all
+    uses here are synchronous."""
     if buf is None or len(buf) == 0:
         return ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
     if isinstance(buf, np.ndarray):
         return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    c = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
-    return ctypes.cast(c, ctypes.POINTER(ctypes.c_uint8))
+    view = np.frombuffer(buf, dtype=np.uint8)  # no copy, read-only ok
+    return view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
 def compress_bound(src_size: int) -> int:
@@ -162,6 +182,67 @@ def xxh32(data, seed: int = 0) -> int:
             data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             data.nbytes, seed))
     return int(lib.lz4r_xxh32(_as_u8p(data), len(data), seed))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def compress_batch(blocks: list[bytes], cap_each: int,
+                   level: int = 1) -> list[bytes | None]:
+    """Compress many blocks in ONE C call (GIL released for the whole
+    batch; zero-copy source pointers). Returns per-block compressed bytes,
+    or None where the result did not fit / did not shrink (store raw)."""
+    lib = _load()
+    n = len(blocks)
+    srcs = (ctypes.c_char_p * n)(*blocks)  # no copies: borrows each buffer
+    sizes = np.array([len(b) for b in blocks], np.int32)
+    dst = np.empty(n * cap_each, np.uint8)
+    dst_offs = np.arange(n, dtype=np.int64) * cap_each
+    out_sizes = np.zeros(n, np.int32)
+    lib.lz4r_compress_batch_ptrs(
+        srcs, _i32p(sizes), n,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i64p(dst_offs),
+        np.int32(cap_each), _i32p(out_sizes), int(level))
+    out: list[bytes | None] = []
+    for i, b in enumerate(blocks):
+        sz = int(out_sizes[i])
+        if sz <= 0 or sz >= len(b):
+            out.append(None)
+        else:
+            base = i * cap_each
+            out.append(dst[base : base + sz].tobytes())
+    return out
+
+
+def decompress_batch(blocks: list[bytes], cap_each: int) -> list:
+    """Decompress many blocks in ONE C call (GIL released throughout;
+    zero-copy source pointers). Returns memoryviews into one backing
+    buffer — no per-block output copies."""
+    lib = _load()
+    n = len(blocks)
+    srcs = (ctypes.c_char_p * n)(*blocks)  # no copies: borrows each buffer
+    sizes = np.array([len(b) for b in blocks], np.int32)
+    dst = np.empty(n * cap_each, np.uint8)
+    dst_offs = np.arange(n, dtype=np.int64) * cap_each
+    out_sizes = np.zeros(n, np.int32)
+    lib.lz4r_decompress_batch_ptrs(
+        srcs, _i32p(sizes), n,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _i64p(dst_offs),
+        np.int32(cap_each), _i32p(out_sizes))
+    view = memoryview(dst.data)
+    out = []
+    for i in range(n):
+        sz = int(out_sizes[i])
+        if sz < 0:
+            raise zerr.ErrDecompress
+        base = i * cap_each
+        out.append(view[base : base + sz])
+    return out
 
 
 class DictContext:

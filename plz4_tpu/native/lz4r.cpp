@@ -818,3 +818,29 @@ LZ4R_API void lz4r_decompress_batch(const uint8_t* src, const int64_t* offsets,
                                        nullptr, 0);
     }
 }
+
+// Pointer-array variants: sources stay in place (no host-side join copy).
+LZ4R_API void lz4r_decompress_batch_ptrs(const uint8_t** srcs,
+                                         const int32_t* sizes, int n_blocks,
+                                         uint8_t* dst,
+                                         const int64_t* dst_offsets,
+                                         int32_t dst_cap_each,
+                                         int32_t* out_sizes) {
+    for (int i = 0; i < n_blocks; ++i) {
+        out_sizes[i] = lz4r_decompress(srcs[i], sizes[i],
+                                       dst + dst_offsets[i], dst_cap_each,
+                                       nullptr, 0);
+    }
+}
+
+LZ4R_API void lz4r_compress_batch_ptrs(const uint8_t** srcs,
+                                       const int32_t* sizes, int n_blocks,
+                                       uint8_t* dst,
+                                       const int64_t* dst_offsets,
+                                       int32_t dst_cap_each,
+                                       int32_t* out_sizes, int level) {
+    for (int i = 0; i < n_blocks; ++i) {
+        out_sizes[i] = lz4r_compress(srcs[i], sizes[i], dst + dst_offsets[i],
+                                     dst_cap_each, level, nullptr, 0);
+    }
+}
