@@ -179,3 +179,32 @@ def test_sparse_decompress_cli(tmp_path):
     assert cli.main(["decompress", str(tmp_path / "in.lz4"),
                      "-o", str(tmp_path / "out"), "-q", "-s"]) == 0
     assert (tmp_path / "out").read_bytes() == data
+
+
+def test_cli_stdin_stdout(tmp_path, monkeypatch, capsysbinary):
+    """stdin -> stdout plumbing (reference: ops/target.go)."""
+    import subprocess
+    import sys
+
+    data = make_compressible(50_000, seed=60)
+    proc = subprocess.run(
+        [sys.executable, "-m", "plz4_tpu", "compress", "-q"],
+        input=data, capture_output=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr.decode()
+    comp = proc.stdout
+    proc = subprocess.run(
+        [sys.executable, "-m", "plz4_tpu", "decompress", "-q"],
+        input=comp, capture_output=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr.decode()
+    assert proc.stdout == data
+
+
+def test_reader_read_zero():
+    import io as iomod
+
+    import plz4_tpu as plz4
+
+    comp = plz4.compress(b"abc")
+    r = plz4.Reader(iomod.BytesIO(comp))
+    assert r.read(0) == b""
+    assert r.read() == b"abc"
