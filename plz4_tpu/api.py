@@ -20,7 +20,7 @@ from . import native
 from .engine.reader import FrameReader as Reader
 from .engine.writer import FrameWriter as Writer
 from .frame import header as _hdr
-from .opts import WINDOW_SIZE, Options, clamp_level
+from .opts import WINDOW_SIZE, clamp_level
 
 
 def write_skip_frame_header(dst, nibble: int, size: int) -> int:

@@ -262,6 +262,11 @@ struct ChainFinder {
         }
     }
 
+    // "good enough" match length: stop the chain walk once reached
+    // (reference analog: lz4hc sufficient_len) — large speed win on
+    // repetitive data for a negligible ratio cost.
+    static constexpr int SUFFICIENT_LEN = 192;
+
     // Longest match for position ip; returns length (0 if < MINMATCH) and
     // sets *mpos. Prefers longer; on ties the later candidate in chain order
     // (nearer offset) is kept only if strictly longer.
@@ -287,6 +292,7 @@ struct ChainFinder {
                     best = len;
                     *mpos = mp;
                     if (ip + best >= matchlimit) break;  // cannot improve
+                    if (best >= SUFFICIENT_LEN) break;   // good enough
                 }
             }
             cand = chain[(cand - 1) & 0xFFFF];

@@ -13,8 +13,6 @@ Reference analog: internal/pkg/xxh32 (Go + ARM asm).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

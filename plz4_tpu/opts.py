@@ -8,7 +8,7 @@ Invalid numeric inputs are clamped, not errored, matching the reference
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from .frame import descriptor as desc

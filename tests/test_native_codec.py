@@ -168,13 +168,18 @@ def test_dict_context_speedup():
 
     dict_ = make_compressible(65536, seed=23)
     recs = [make_compressible(1024, seed=100 + i) for i in range(50)]
-    t0 = time.perf_counter()
-    for r in recs:
-        plz4.compress_block(r, dictionary=dict_)
-    t_plain = time.perf_counter() - t0
     ctx = plz4.DictContext(dict_)
-    t0 = time.perf_counter()
-    for r in recs:
-        ctx.compress_block(r)
-    t_ctx = time.perf_counter() - t0
-    assert t_ctx < t_plain  # amortized table must win
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_plain = timed(lambda: [plz4.compress_block(r, dictionary=dict_)
+                             for r in recs])
+    t_ctx = timed(lambda: [ctx.compress_block(r) for r in recs])
+    # amortized table must win clearly (wide margin vs timing noise)
+    assert t_ctx < t_plain * 0.8, (t_ctx, t_plain)
