@@ -357,7 +357,8 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         if (src > wbase) cf.insert_upto(src);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
-        // scan near-linear on RLE/periodic data.
+        // scan near-linear on RLE/periodic data. (A denser skip was tried
+        // and cost 11% ratio: the DP needs fresh matches at most positions.)
         int carry_len = 0, carry_off = 0;
         for (int i = 0; i + MFLIMIT <= src_size; ++i) {
             const uint8_t* ip = src + i;
