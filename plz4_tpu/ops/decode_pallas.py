@@ -135,13 +135,23 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
     def body(state):
         ip, op, ok, _ = state
         bad = ip >= clen
-        token = rd_c(ip)
+        # one unaligned word read covers token + first length-extension byte
+        # (multi-extension runs fall back to the varint loop)
+        hw = rd_c_word(ip)
+        token = hw & 255
         ip = ip + 1
 
         lit_len = token >> 4
-        lit_len, ip = jax.lax.cond(
-            lit_len == 15, lambda: read_varint(ip, 15),
-            lambda: (lit_len, ip))
+        ext0 = (hw >> 8) & 255
+
+        def lit_ext():
+            return jax.lax.cond(
+                ext0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + ext0, ip + 1))
+
+        lit_len, ip = jax.lax.cond(lit_len == 15, lit_ext,
+                                   lambda: (lit_len, ip))
         bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
 
         # wild word copy (may overshoot <=3 bytes; later writes overwrite)
@@ -189,13 +199,21 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
         done = (ip >= clen) | bad
 
         def do_match(ip, op, bad):
-            off = rd_c(ip) | (rd_c(ip + 1) << 8)
+            # one word read: offset (2 bytes) + first match-length ext byte
+            mw = rd_c_word(ip)
+            off = mw & 0xFFFF
             ip = ip + 2
             bad = bad | (ip > clen) | (off == 0)
             mlen = token & 15
-            mlen, ip = jax.lax.cond(
-                mlen == 15, lambda: read_varint(ip, 15),
-                lambda: (mlen, ip))
+            mext0 = (mw >> 16) & 255
+
+            def m_ext():
+                return jax.lax.cond(
+                    mext0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + mext0, ip + 1))
+
+            mlen, ip = jax.lax.cond(mlen == 15, m_ext, lambda: (mlen, ip))
             mlen = mlen + 4
             bad = bad | (op + mlen > N) | (off > op)
 
