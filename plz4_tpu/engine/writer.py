@@ -238,9 +238,8 @@ class FrameWriter:
             raise self._err
 
     def _latch(self, e: BaseException) -> None:
-        if self._err is None and not isinstance(e, type(zerr.ErrClosed)):
-            self._err = e
-        elif self._err is None:
+        # first error wins (reference: CAS latch, async/writer.go:552-583)
+        if self._err is None:
             self._err = e
 
     def _write(self, data) -> int:
