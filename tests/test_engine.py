@@ -426,3 +426,46 @@ def test_level_clamping():
     assert plz4.decompress(comp) == b"data" * 100
     comp = plz4.compress(b"data" * 100, level=-5)
     assert plz4.decompress(comp) == b"data" * 100
+
+
+def test_interspersed_write_and_read_from():
+    """Mixing Write and ReadFrom on one writer (reference:
+    wr_test.go:662-725)."""
+    out = io.BytesIO()
+    w = plz4.Writer(out, parallel=2, block_size_idx=desc.BLOCK_IDX_64KB)
+    expect = bytearray()
+    for i in range(6):
+        part = make_compressible(30_000 + i * 1000, seed=200 + i)
+        expect += part
+        if i % 2 == 0:
+            w.write(part)
+        else:
+            w.read_from(io.BytesIO(part))
+    w.close()
+    assert plz4.decompress(out.getvalue()) == bytes(expect)
+
+
+def test_random_chunk_direct_writes():
+    """Randomly sized writes spanning the no-copy direct-block path and the
+    staging path (reference: wr_test.go:172-200)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    data = make_compressible(700_000, seed=30)
+    out = io.BytesIO()
+    w = plz4.Writer(out, parallel=2, block_size_idx=desc.BLOCK_IDX_64KB)
+    i = 0
+    while i < len(data):
+        n = int(rng.integers(1, 200_000))
+        w.write(data[i : i + n])
+        i += n
+    w.close()
+    assert plz4.decompress(out.getvalue()) == data
+
+
+def test_write_returns_consumed_count():
+    out = io.BytesIO()
+    w = plz4.Writer(out)
+    assert w.write(b"abc") == 3
+    assert w.write(b"") == 0
+    w.close()
