@@ -34,13 +34,20 @@ SKIP_STRENGTH = 6
 
 
 def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
-    """dw_ref: (Wd,) packed input words; ow_ref: (Wo,) packed output words;
-    tab_ref: (2^HASH_LOG,) scratch hash table (position+1, 0 = empty)."""
+    """dw_ref: (Wd,) packed words of [window | block]; ow_ref: (Wo,) packed
+    output words; tab_ref: (2^HASH_LOG,) scratch hash table (position+1,
+    0 = empty). n_ref = [n, base, first]: the block occupies bytes
+    [base, base+n); usable window bytes are [first, base) (the linked-mode
+    / dictionary prefix — reference: LZ4_compress_fast_continue semantics,
+    clz4/clz4.go:224-248)."""
     Wd = dw_ref.shape[0]
     Wo = ow_ref.shape[0]
     D = Wd * 4   # input byte capacity
     O = Wo * 4   # output byte capacity
     n = n_ref[0]
+    base = n_ref[1]
+    first = n_ref[2]
+    end = base + n
 
     def rd_b(p):
         p = jnp.clip(p, 0, D - 1)
@@ -138,8 +145,14 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
         return 0
     jax.lax.fori_loop(0, tab_ref.shape[0], tinit, 0)
 
-    mflimit = n - 12
-    matchlimit = n - 5
+    # preload window positions (reference: LZ4_loadDict analog)
+    def wload(p, _):
+        tab_ref[hash4(rd_w(p))] = p + 1
+        return 0
+    jax.lax.fori_loop(first, base, wload, 0)
+
+    mflimit = end - 12
+    matchlimit = end - 5
     out_limit = O - 16  # stop when output approaches capacity
 
     # state: (ip, anchor, op, overflow)
@@ -161,7 +174,7 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
             h = hash4(u)
             cand = tab_ref[h] - 1
             tab_ref[h] = sip + 1
-            good = ((cand >= 0) & (cand < sip)
+            good = ((cand >= first) & (cand < sip)
                     & (sip - cand <= MAX_DISTANCE)
                     & (rd_w(cand) == u))
             step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
@@ -181,7 +194,8 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
             # backward extension over pending literals
             def b_cond(s):
                 a, b_, _ = s
-                return (a > anchor) & (b_ > 0) & (rd_b(a - 1) == rd_b(b_ - 1))
+                return ((a > anchor) & (b_ > first)
+                        & (rd_b(a - 1) == rd_b(b_ - 1)))
 
             def b_body(s):
                 a, b_, l = s
@@ -228,7 +242,7 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
                                                 no_match)
         return ip, anchor, op, overflow
 
-    ip0 = jnp.int32(0)
+    ip0 = base
     state = (ip0, ip0, jnp.int32(0), (n < 0).astype(I32))
     # blocks smaller than 13 bytes cannot contain a match
     state = jax.lax.while_loop(cond, body, state)
@@ -236,10 +250,11 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
 
     # final literals
     def final_ok():
-        return emit_sequence(op, anchor, n, jnp.int32(0), jnp.int32(0))
+        return emit_sequence(op, anchor, end, jnp.int32(0), jnp.int32(0))
 
     op = jax.lax.cond(
-        (overflow != 0) | (op + (n - anchor) + (n - anchor) // 255 + 16 > O),
+        (overflow != 0)
+        | (op + (end - anchor) + (end - anchor) // 255 + 16 > O),
         lambda: O,  # overflowed: signal incompressible
         final_ok)
 
@@ -263,6 +278,7 @@ def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
     # clip guard
     data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
     dw = pack_words(data)
+    meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
     ow, total, ok = pl.pallas_call(
         _encode_kernel,
         out_shape=(
@@ -281,8 +297,59 @@ def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
         ),
         scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32)],
         interpret=interpret,
-    )(dw, jnp.reshape(n.astype(I32), (1,)))
+    )(dw, meta)
     return unpack_words(ow), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
+                             dict_buf: jnp.ndarray, dlen: jnp.ndarray,
+                             interpret: bool = False):
+    """Encode one block with a window prefix (linked mode / dictionary).
+
+    dict_buf: (D,) uint8 right-aligned window, D % 4 == 0. The combined
+    SMEM domain is [window | block]; match starts stay in the block but
+    sources may reach the window — so linked blocks still encode fully in
+    parallel with pre-snapshotted windows (reference: _genDict,
+    async/writer.go:412-437).
+    """
+    N = data.shape[0]
+    D = dict_buf.shape[0]
+    assert N % 4 == 0 and D % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    combined = jnp.concatenate(
+        [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
+    dw = pack_words(combined)
+    meta = jnp.stack([n.astype(I32), jnp.int32(D),
+                      jnp.int32(D) - dlen.astype(I32)])
+    ow, total, ok = pl.pallas_call(
+        _encode_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((CAP // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32)],
+        interpret=interpret,
+    )(dw, meta)
+    return unpack_words(ow), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_batch_pallas_dict(data, lens, dicts, dlens,
+                             interpret: bool = False):
+    """Batch encode with per-block windows: dicts (B, D) right-aligned."""
+    fn = functools.partial(encode_block_pallas_dict, interpret=interpret)
+    return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -103,8 +103,14 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         a, l, da, dl = _shard_args(
             mesh, jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(darr),
             jnp.asarray(dlens))
-        out, totals, compressible = encode_jax.encode_batch_dict(
-            a, l, da, dl, level=level)
+        if _use_pallas() and level <= 2:
+            from ..ops import encode_pallas
+
+            out, totals, compressible = encode_pallas.encode_batch_pallas_dict(
+                a, l, da, dl)
+        else:
+            out, totals, compressible = encode_jax.encode_batch_dict(
+                a, l, da, dl, level=level)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
         if _use_pallas() and level <= 2:

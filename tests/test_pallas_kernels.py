@@ -75,3 +75,46 @@ def test_pallas_roundtrip_pallas_decode():
     out = decode_pallas.decode_block_host(comp, out_cap=len(data),
                                           interpret=True)
     assert out == data
+
+
+def test_pallas_encode_with_window():
+    """Window-prefix (linked/dict) encode kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dict_ = make_incompressible(2048, seed=50)
+    rec = dict_[-1000:] + b"fresh tail" * 20
+    N = (len(rec) + 3) & ~3
+    buf = np.zeros(N, np.uint8)
+    buf[: len(rec)] = np.frombuffer(rec, np.uint8)
+    D = 2048
+    dbuf = np.zeros(D, np.uint8)
+    dbuf[D - len(dict_):] = np.frombuffer(dict_, np.uint8)
+    out, total, ok = encode_pallas.encode_block_pallas_dict(
+        jnp.asarray(buf), jnp.int32(len(rec)), jnp.asarray(dbuf),
+        jnp.int32(len(dict_)), interpret=True)
+    assert bool(ok)
+    comp = np.asarray(out)[: int(total)].tobytes()
+    assert native.decompress(comp, len(rec), dict_=dict_) == rec
+    # the window must actually be exploited
+    assert int(total) < len(native.compress(rec, level=1))
+
+
+def test_pallas_encode_window_partial():
+    """Short window (dlen < D): padding must not produce matches."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dict_ = make_incompressible(500, seed=51)
+    rec = dict_ + b"x" * 100
+    N = (len(rec) + 3) & ~3
+    buf = np.zeros(N, np.uint8)
+    buf[: len(rec)] = np.frombuffer(rec, np.uint8)
+    D = 1024
+    dbuf = np.zeros(D, np.uint8)
+    dbuf[D - len(dict_):] = np.frombuffer(dict_, np.uint8)
+    out, total, ok = encode_pallas.encode_block_pallas_dict(
+        jnp.asarray(buf), jnp.int32(len(rec)), jnp.asarray(dbuf),
+        jnp.int32(len(dict_)), interpret=True)
+    comp = np.asarray(out)[: int(total)].tobytes()
+    assert native.decompress(comp, len(rec), dict_=dict_) == rec
