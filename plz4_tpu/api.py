@@ -41,8 +41,18 @@ def compress(data: bytes, **opts) -> bytes:
 
 
 def decompress(data: bytes, **opts) -> bytes:
-    """One-shot frame decompression (handles concatenated frames)."""
-    r = Reader(io.BytesIO(data), **opts)
+    """One-shot frame decompression (handles concatenated frames).
+
+    Uses a parse-then-fan-out fast path when no streaming feature is
+    engaged (engine/oneshot.py); otherwise the streaming Reader."""
+    from .engine import oneshot
+    from .opts import Options
+
+    o = Options(**opts)
+    fast = oneshot.decompress_bytes(data, o)
+    if fast is not None:
+        return fast
+    r = Reader(io.BytesIO(data), o)
     try:
         return r.read()
     finally:

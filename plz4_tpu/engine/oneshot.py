@@ -1,0 +1,189 @@
+"""One-shot fast paths for bytes-in/bytes-out (de)compression.
+
+The streaming Reader pays per-block Python bookkeeping on the consumer
+thread, which caps throughput regardless of worker parallelism. When the
+whole compressed input is already in memory and no streaming feature is
+engaged (progress/skip callbacks, read offset, dictionaries), decompression
+can instead:
+
+  1. parse every frame's block table in one tight pass (cheap),
+  2. fan the block list out to the pool in a few large chunks — each chunk
+     is ONE GIL-releasing C batch call that also verifies block checksums,
+  3. verify content checksums with one-shot native xxh32 over the
+     assembled output (C speed, instead of a streaming serial hasher).
+
+Falls back to the streaming engine (returns None) whenever any condition
+is not met, so semantics never change.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .. import errors as zerr
+from .. import native
+from ..frame import descriptor as desc
+from ..frame import header as hdr
+from ..opts import Options
+
+_MAGIC = hdr.FRAME_MAGIC
+_SKIP_BASE = hdr.SKIP_MAGIC_BASE
+_SKIP_MASK = hdr.SKIP_MAGIC_MASK
+
+
+class _Frame:
+    __slots__ = ("header", "blocks", "content_checksum")
+
+    def __init__(self, header):
+        self.header = header
+        self.blocks = []  # (offset, size, uncompressed, blk_checksum|None)
+        self.content_checksum = None
+
+
+def _parse_stream(data: bytes):
+    """Parse all frames' block tables. Returns list[_Frame] or None when a
+    frame needs the streaming path (linked blocks)."""
+    frames = []
+    view = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise zerr.ErrUnexpectedEOF
+        magic = int.from_bytes(view[pos : pos + 4], "little")
+        if (magic & _SKIP_MASK) == _SKIP_BASE:
+            if n - pos < 8:
+                raise zerr.ErrUnexpectedEOF
+            sz = int.from_bytes(view[pos + 4 : pos + 8], "little")
+            pos += 8 + sz
+            if pos > n:
+                raise zerr.ErrUnexpectedEOF
+            continue
+        if magic != _MAGIC:
+            raise zerr.ErrMagic
+        # reuse the validated header parser on a slice
+        import io
+
+        rd = io.BytesIO(data[pos : pos + hdr.MAX_HEADER_SIZE])
+        h = hdr.read_header(rd)
+        if h is None or not h.block_independent:
+            return None
+        pos += h.size
+        fr = _Frame(h)
+        bx = h.block_checksum
+        maxb = h.block_size
+        while True:
+            if n - pos < 4:
+                raise zerr.ErrUnexpectedEOF
+            word = int.from_bytes(view[pos : pos + 4], "little")
+            pos += 4
+            stored, unc = desc.parse_size_word(word)
+            if stored == 0 and not unc:
+                if h.content_checksum:
+                    if n - pos < 4:
+                        raise zerr.ErrUnexpectedEOF
+                    fr.content_checksum = int.from_bytes(
+                        view[pos : pos + 4], "little")
+                    pos += 4
+                break
+            if stored > maxb:
+                raise zerr.ErrBlockSizeOverflow
+            if n - pos < stored:
+                raise zerr.ErrUnexpectedEOF
+            blk_sum = None
+            end = pos + stored
+            if bx:
+                if n - end < 4:
+                    raise zerr.ErrUnexpectedEOF
+                blk_sum = int.from_bytes(view[end : end + 4], "little")
+            fr.blocks.append((pos, stored, unc, blk_sum))
+            pos = end + (4 if bx else 0)
+        frames.append(fr)
+    return frames
+
+
+def _decode_chunk(data, blocks, cap):
+    """Worker: verify block checksums + decompress a chunk of blocks.
+    Returns list of memoryviews/bytes in order."""
+    lib = native._load()
+    out = []
+    # group the compressed ones into one C batch; pass through raw ones
+    comp_items = [(i, data[off : off + sz]) for i, (off, sz, unc, _) in
+                  enumerate(blocks) if not unc]
+    for off, sz, unc, want in blocks:
+        if want is not None:
+            got = lib.lz4r_xxh32(
+                (ctypes.c_char_p(bytes(data[off : off + sz]))
+                 if False else native._as_u8p(data[off : off + sz])),
+                sz, 0)
+            if int(got) != want:
+                raise zerr.ErrBlockHash
+    if comp_items:
+        decoded = native.decompress_batch([b for _, b in comp_items], cap)
+    else:
+        decoded = []
+    it = iter(decoded)
+    for off, sz, unc, _ in blocks:
+        if unc:
+            out.append(data[off : off + sz])
+        else:
+            out.append(next(it))
+    return out
+
+
+def decompress_bytes(data: bytes, o: Options):
+    """Fast one-shot decompress; returns bytes or None to fall back."""
+    if (o.progress is not None or o.skip_callback is not None
+            or o.read_offset is not None or o.dictionary is not None
+            or o.dict_callback is not None or o.backend == "device"
+            or o.resolved_parallel() == 0):
+        return None
+    try:
+        frames = _parse_stream(data)
+    except zerr.Lz4Error:
+        raise
+    if frames is None:
+        return None
+    view = memoryview(data)
+    workers = o.resolved_parallel()
+    pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        results = []
+        for fr in frames:
+            blocks = fr.blocks
+            cap = fr.header.block_size
+            if not blocks:
+                results.append((fr, []))
+                continue
+            n_chunks = min(len(blocks), workers * 2)
+            per = (len(blocks) + n_chunks - 1) // n_chunks
+            futs = [
+                pool.submit(_decode_chunk, view,
+                            blocks[i : i + per], cap)
+                for i in range(0, len(blocks), per)
+            ]
+            results.append((fr, futs))
+
+        pieces = []
+        for fr, futs in results:
+            frame_pieces = []
+            for fut in futs:
+                frame_pieces.extend(fut.result())
+            out_sz = sum(len(p) for p in frame_pieces)
+            h = fr.header
+            if (o.content_size_check and h.content_size is not None
+                    and out_sz != h.content_size):
+                raise zerr.ErrContentSize
+            if h.content_checksum and fr.content_checksum is not None:
+                st = native.Xxh32Stream()
+                for p in frame_pieces:
+                    st.update(np.frombuffer(p, dtype=np.uint8))
+                if st.digest() != fr.content_checksum:
+                    raise zerr.ErrContentHash
+            pieces.extend(frame_pieces)
+        return b"".join(pieces)
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)

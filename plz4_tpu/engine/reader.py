@@ -317,9 +317,9 @@ class FrameReader:
             submit = self._o.worker_pool.submit
         else:
             if self._pool is None:
-                self._pool = ThreadPoolExecutor(
-                    max_workers=self._parallel,
-                    thread_name_prefix="plz4-decompress")
+                from .writer import _make_pool
+
+                self._pool = _make_pool(self._parallel, "plz4-decompress")
             submit = self._pool.submit
         # dispatch in small groups: one future covers several GIL-releasing
         # C calls (the per-future overhead otherwise rivals the decompress)

@@ -106,6 +106,29 @@ def _group_size(block_size_idx: int) -> int:
     }[block_size_idx]
 
 
+def _make_pool(workers: int, prefix: str) -> ThreadPoolExecutor:
+    """ThreadPoolExecutor with all workers pre-spawned. The stdlib pool
+    spawns lazily at submit time and sticks at one thread whenever a single
+    worker keeps draining the queue between submits — which serializes the
+    whole pipeline."""
+    pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix=prefix)
+    barrier = threading.Barrier(workers + 1)
+
+    def hold():
+        try:
+            barrier.wait(timeout=5)
+        except threading.BrokenBarrierError:  # pragma: no cover
+            pass
+
+    for _ in range(workers):
+        pool.submit(hold)
+    try:
+        barrier.wait(timeout=5)
+    except threading.BrokenBarrierError:  # pragma: no cover
+        pass
+    return pool
+
+
 class FrameWriter:
     """Streaming LZ4 frame writer with the reference's full semantics."""
 
@@ -325,9 +348,7 @@ class FrameWriter:
             fut = self._o.worker_pool.submit(_compress_group, group)
         else:
             if self._pool is None:
-                self._pool = ThreadPoolExecutor(
-                    max_workers=self._parallel,
-                    thread_name_prefix="plz4-compress")
+                self._pool = _make_pool(self._parallel, "plz4-compress")
             fut = self._pool.submit(_compress_group, group)
         self._pending.append((fut, [len(s) for s, _, _ in group]))
         self._drain(wait_all=False)

@@ -199,7 +199,9 @@ def compress_batch(blocks: list[bytes], cap_each: int,
     or None where the result did not fit / did not shrink (store raw)."""
     lib = _load()
     n = len(blocks)
-    srcs = (ctypes.c_char_p * n)(*blocks)  # no copies: borrows each buffer
+    # zero-copy pointer array; the views list keeps every buffer alive
+    views = [np.frombuffer(b, dtype=np.uint8) for b in blocks]
+    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in views])
     sizes = np.array([len(b) for b in blocks], np.int32)
     dst = np.empty(n * cap_each, np.uint8)
     dst_offs = np.arange(n, dtype=np.int64) * cap_each
@@ -225,7 +227,9 @@ def decompress_batch(blocks: list[bytes], cap_each: int) -> list:
     buffer — no per-block output copies."""
     lib = _load()
     n = len(blocks)
-    srcs = (ctypes.c_char_p * n)(*blocks)  # no copies: borrows each buffer
+    # zero-copy pointer array; the views list keeps every buffer alive
+    views = [np.frombuffer(b, dtype=np.uint8) for b in blocks]
+    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in views])
     sizes = np.array([len(b) for b in blocks], np.int32)
     dst = np.empty(n * cap_each, np.uint8)
     dst_offs = np.arange(n, dtype=np.int64) * cap_each
