@@ -32,9 +32,19 @@ def write_skip_frame_header(dst, nibble: int, size: int) -> int:
 
 
 def compress(data: bytes, **opts) -> bytes:
-    """One-shot frame compression."""
+    """One-shot frame compression.
+
+    Uses a chunked fan-out fast path when no streaming feature is engaged
+    (engine/oneshot.py); otherwise the streaming Writer."""
+    from .engine import oneshot
+    from .opts import Options
+
+    o = Options(**opts)
+    fast = oneshot.compress_bytes(data, o)
+    if fast is not None:
+        return fast
     out = io.BytesIO()
-    w = Writer(out, **opts)
+    w = Writer(out, o)
     w.write(data)
     w.close()
     return out.getvalue()

@@ -134,6 +134,68 @@ def _decode_chunk(data, blocks, cap):
     return out
 
 
+def _encode_chunk(view, spans, level, cap):
+    """Worker: compress a chunk of block spans; one C batch call."""
+    blocks = [view[a:b] for a, b in spans]
+    outs = native.compress_batch(blocks, cap_each=cap, level=level)
+    return [
+        (blocks[i], True) if outs[i] is None else (outs[i], False)
+        for i in range(len(blocks))
+    ]
+
+
+def compress_bytes(data: bytes, o: Options):
+    """Fast one-shot compress; returns bytes or None to fall back.
+
+    Parses nothing — just blocks the input, fans chunks to the pool (each
+    chunk one GIL-releasing C batch call), frames on the caller thread, and
+    computes the content checksum with one one-shot native xxh32 pass."""
+    if (o.progress is not None or o.block_linked or o.dictionary is not None
+            or o.backend == "device" or o.resolved_parallel() == 0
+            or len(data) == 0):
+        return None
+    from . import writer as wmod
+    from ..frame import block_io, trailer
+    from ..frame import header as hdr_mod
+
+    bs = o.block_size
+    view = memoryview(data)
+    spans = [(i, min(i + bs, len(data))) for i in range(0, len(data), bs)]
+    workers = o.resolved_parallel()
+    n_chunks = min(len(spans), workers * 2)
+    per = (len(spans) + n_chunks - 1) // n_chunks
+
+    pool = ThreadPoolExecutor(max_workers=workers)
+    try:
+        futs = [
+            pool.submit(_encode_chunk, view, spans[i : i + per], o.level, bs)
+            for i in range(0, len(spans), per)
+        ]
+        content_hash = (native.xxh32(np.frombuffer(data, dtype=np.uint8))
+                        if o.content_checksum else None)
+        pieces = [hdr_mod.write_header(
+            block_size_idx=o.block_size_idx,
+            block_linked=False,
+            block_checksum=o.block_checksum,
+            content_checksum=o.content_checksum,
+            content_size=o.content_size,
+            dict_id=o.dict_id,
+        )]
+        for fut in futs:
+            for stored, raw in fut.result():
+                pieces.append(block_io.frame_block(
+                    bytes(stored) if isinstance(stored, memoryview)
+                    else stored,
+                    raw, o.block_checksum, hash_fn=native.xxh32))
+        if o.content_size is not None and o.content_size != len(data):
+            raise zerr.ErrContentSize
+        pieces.append(trailer.write_trailer(content_hash))
+        del wmod
+        return b"".join(pieces)
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
+
+
 def decompress_bytes(data: bytes, o: Options):
     """Fast one-shot decompress; returns bytes or None to fall back."""
     if (o.progress is not None or o.skip_callback is not None
