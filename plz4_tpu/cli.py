@@ -146,6 +146,7 @@ def cmd_verify(args) -> int:
 
     # header metadata dump (reference: ops/verify.go:170-198)
     if src_path:
+        src.close()  # metadata dump + full decode use their own handles
         with open(src_path, "rb") as f:
             try:
                 h = hdr.read_header(f, skip_callback=lambda r, n, s: r.read(s))
@@ -176,6 +177,8 @@ def cmd_verify(args) -> int:
         return 1
     finally:
         r.close()
+        if src_path:
+            src.close()
     for nibble, size in skip_frames:
         print(f"skippable frame: nibble={nibble} size={size}")
     print(f"OK: {n} bytes")

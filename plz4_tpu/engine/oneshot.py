@@ -18,7 +18,6 @@ is not met, so semantics never change.
 
 from __future__ import annotations
 
-import ctypes
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -111,20 +110,14 @@ def _decode_chunk(data, blocks, cap):
     lib = native._load()
     out = []
     # group the compressed ones into one C batch; pass through raw ones
-    comp_items = [(i, data[off : off + sz]) for i, (off, sz, unc, _) in
-                  enumerate(blocks) if not unc]
+    comp = [data[off : off + sz] for (off, sz, unc, _) in blocks if not unc]
     for off, sz, unc, want in blocks:
         if want is not None:
             got = lib.lz4r_xxh32(
-                (ctypes.c_char_p(bytes(data[off : off + sz]))
-                 if False else native._as_u8p(data[off : off + sz])),
-                sz, 0)
+                native._as_u8p(data[off : off + sz]), sz, 0)
             if int(got) != want:
                 raise zerr.ErrBlockHash
-    if comp_items:
-        decoded = native.decompress_batch([b for _, b in comp_items], cap)
-    else:
-        decoded = []
+    decoded = native.decompress_batch(comp, cap) if comp else []
     it = iter(decoded)
     for off, sz, unc, _ in blocks:
         if unc:
@@ -142,6 +135,17 @@ def _encode_chunk(view, spans, level, cap):
         (blocks[i], True) if outs[i] is None else (outs[i], False)
         for i in range(len(blocks))
     ]
+
+
+def _submitter(o: Options):
+    """(submit, cleanup) pair: the caller's shared worker pool when set
+    (WithWorkerPool analog — keeps the process-wide thread cap intact),
+    else a private executor torn down after the call."""
+    if o.worker_pool is not None:
+        return o.worker_pool.submit, (lambda: None)
+    pool = ThreadPoolExecutor(max_workers=o.resolved_parallel())
+    return pool.submit, (
+        lambda: pool.shutdown(wait=True, cancel_futures=True))
 
 
 def compress_bytes(data: bytes, o: Options):
@@ -165,10 +169,10 @@ def compress_bytes(data: bytes, o: Options):
     n_chunks = min(len(spans), workers * 2)
     per = (len(spans) + n_chunks - 1) // n_chunks
 
-    pool = ThreadPoolExecutor(max_workers=workers)
+    submit, cleanup = _submitter(o)
     try:
         futs = [
-            pool.submit(_encode_chunk, view, spans[i : i + per], o.level, bs)
+            submit(_encode_chunk, view, spans[i : i + per], o.level, bs)
             for i in range(0, len(spans), per)
         ]
         content_hash = (native.xxh32(np.frombuffer(data, dtype=np.uint8))
@@ -193,7 +197,7 @@ def compress_bytes(data: bytes, o: Options):
         del wmod
         return b"".join(pieces)
     finally:
-        pool.shutdown(wait=True, cancel_futures=True)
+        cleanup()
 
 
 def decompress_bytes(data: bytes, o: Options):
@@ -211,7 +215,7 @@ def decompress_bytes(data: bytes, o: Options):
         return None
     view = memoryview(data)
     workers = o.resolved_parallel()
-    pool = ThreadPoolExecutor(max_workers=workers)
+    submit, cleanup = _submitter(o)
     try:
         results = []
         for fr in frames:
@@ -223,8 +227,7 @@ def decompress_bytes(data: bytes, o: Options):
             n_chunks = min(len(blocks), workers * 2)
             per = (len(blocks) + n_chunks - 1) // n_chunks
             futs = [
-                pool.submit(_decode_chunk, view,
-                            blocks[i : i + per], cap)
+                submit(_decode_chunk, view, blocks[i : i + per], cap)
                 for i in range(0, len(blocks), per)
             ]
             results.append((fr, futs))
@@ -248,4 +251,4 @@ def decompress_bytes(data: bytes, o: Options):
             pieces.extend(frame_pieces)
         return b"".join(pieces)
     finally:
-        pool.shutdown(wait=True, cancel_futures=True)
+        cleanup()

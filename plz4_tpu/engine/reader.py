@@ -55,6 +55,7 @@ class FrameReader:
         self._eof = False
         self._buf = memoryview(b"")
         self._parallel = self._o.resolved_parallel()
+        self._frame_parallel = self._parallel
         self._budget = self._o.pending_budget()
         self._pool: ThreadPoolExecutor | None = None
         self._src_pos = 0                # compressed bytes consumed
@@ -231,11 +232,13 @@ class FrameReader:
         self._hasher = (_HashWorker()
                         if (h.content_checksum and self._check_content)
                         else None)
-        # dynamic worker scaling by declared content size
-        # (reference: async/reader.go:90-99)
+        # dynamic worker scaling by declared content size, recomputed per
+        # frame from the unmodified setting (reference: async/reader.go:90-99
+        # derives nTasks from NParallel fresh for every frame)
+        self._frame_parallel = self._parallel
         if h.content_size is not None and self._parallel > 0:
             blocks = h.content_size // h.block_size + 1
-            self._parallel = max(1, min(self._parallel, blocks))
+            self._frame_parallel = max(1, min(self._parallel, blocks))
         self._blk_rdr = block_io.FrameBlockReader(
             self._src, h, hash_fn=native.xxh32)
         return True

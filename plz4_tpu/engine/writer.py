@@ -220,7 +220,13 @@ class FrameWriter:
 
     def write_skip_frame(self, nibble: int, payload: bytes) -> None:
         """Emit a whole skippable frame; only legal before frame data
-        (reference: WriteSkipFrameHeader, plz4_writer.go:60-62)."""
+        (reference: WriteSkipFrameHeader, plz4_writer.go:60-62).
+
+        Note this method is stricter than the spec: the format allows
+        skippable frames *between* LZ4 frames too, which the reference (and
+        this package) supports via the free function
+        `plz4_tpu.write_skip_frame_header` on the raw destination stream —
+        this Writer method refuses once its own frame has started."""
         self._check_writable()
         if self._header_written:
             raise zerr.ErrSkip
