@@ -50,6 +50,21 @@ inline uint32_t hash4(uint32_t v, int hashlog) {
     return (v * 2654435761u) >> (32 - hashlog);
 }
 
+inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+// 5-byte hash for the greedy match finder on large inputs: candidates
+// guarantee 5 bytes of agreement, which skips marginal 4-byte matches and
+// lifts ratio substantially on >=64 KiB blocks (reference analog:
+// LZ4_hash5 selection in LZ4_hashPosition, lz4.c:785-799).
+inline uint32_t hash5(const uint8_t* p, int hashlog) {
+    uint64_t v = read64(p) << 24;  // low 40 bits selected
+    return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
+}
+
 // Count matching bytes between [pa, limit) and pb (pb behind pa).
 inline int count_match(const uint8_t* pa, const uint8_t* pb, const uint8_t* limit) {
     const uint8_t* const start = pa;
@@ -176,13 +191,20 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
     if (src_size >= MFLIMIT + 1) {
         if (accel < 1) accel = 1;
         const int skip_strength = 6;
+        // 5-byte hashing on large inputs (see hash5); 4-byte below 64 KiB,
+        // where marginal 4-byte matches at long offsets are instead rejected
+        // explicitly (they cost 3 wire bytes and often split better parses)
+        const bool h5 = src_size >= 65536;
         if (!preloaded) {
             for (const uint8_t* dp = wbase; dp < src; ++dp) {
-                tab[hash4(read32(dp), hashlog)] = (uint32_t)(dp - wbase);
+                uint32_t h = h5 ? hash5(dp, hashlog)
+                                : hash4(read32(dp), hashlog);
+                tab[h] = (uint32_t)(dp - wbase);
             }
         }
         // seed first position
-        tab[hash4(read32(ip), hashlog)] = (uint32_t)(ip - wbase);
+        tab[h5 ? hash5(ip, hashlog) : hash4(read32(ip), hashlog)] =
+            (uint32_t)(ip - wbase);
         ++ip;
 
         for (;;) {
@@ -191,12 +213,20 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
             const uint8_t* match;
             for (;;) {
                 if (ip > mflimit) goto last_literals;
-                uint32_t h = hash4(read32(ip), hashlog);
+                uint32_t h = h5 ? hash5(ip, hashlog)
+                                : hash4(read32(ip), hashlog);
                 match = wbase + tab[h];
                 tab[h] = (uint32_t)(ip - wbase);
                 if (match < ip && (uint32_t)(ip - match) <= MAX_DISTANCE &&
-                    read32(match) == read32(ip))
-                    break;
+                    read32(match) == read32(ip)) {
+                    if (!h5 && (uint32_t)(ip - match) > 512 &&
+                        match[MINMATCH] != ip[MINMATCH] &&
+                        !(ip > anchor && match > wbase &&
+                          ip[-1] == match[-1]))
+                        ;  // bare 4-byte match far away: not worth 3 bytes
+                    else
+                        break;
+                }
                 ip += search_nb++ >> skip_strength;
             }
             // --- extend match backwards over pending literals ---
@@ -216,7 +246,8 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
             }
             if (ip > mflimit) goto last_literals;
             // seed intermediate position for better future matches
-            tab[hash4(read32(ip - 2), hashlog)] = (uint32_t)(ip - 2 - wbase);
+            tab[h5 ? hash5(ip - 2, hashlog) : hash4(read32(ip - 2), hashlog)] =
+                (uint32_t)(ip - 2 - wbase);
         }
     }
 
@@ -298,6 +329,60 @@ struct ChainFinder {
             cand = chain[(cand - 1) & 0xFFFF];
         }
         return best >= MINMATCH ? best : 0;
+    }
+
+    struct Match {
+        int len;   // total length including back extension
+        int off;   // distance (0 = no match found above min_len)
+        int back;  // bytes the match start lies BEFORE the probe position
+    };
+
+    // Widest match covering probe position ip: candidates are chained on
+    // hash(ip) but a match may extend BACKWARD over pending bytes down to
+    // `low`, and only candidates whose total (back+forward) length beats
+    // `min_len` are accepted — scoring back+forward together is the
+    // per-attempt quality edge of the upstream HC match finder (reference
+    // analog: LZ4HC_InsertAndGetWiderMatch, lz4hc.c:885). Returns
+    // {min_len, 0, 0} when nothing better exists.
+    Match search(const uint8_t* ip, const uint8_t* low,
+                 const uint8_t* matchlimit, int nb_attempts, int min_len,
+                 int sufficient = SUFFICIENT_LEN) {
+        insert_upto(ip);
+        uint32_t pos = (uint32_t)(ip - wbase);
+        uint32_t h = hash4(read32(ip), hashlog);
+        uint32_t cand = head[h];
+        Match best{min_len, 0, 0};
+        uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
+        uint32_t first4 = read32(ip);
+        int lookback = (int)(ip - low);
+        while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
+            const uint8_t* mp = wbase + (cand - 1);
+            // boundary filter: a match beating best.len (assuming maximal
+            // back extension) must agree on the 2 bytes at that boundary
+            // (skipped when the hypothetical back-extended source would
+            // fall before the window base)
+            if ((mp - wbase < lookback ||
+                 read16(low + best.len - 1) ==
+                     read16(mp - lookback + best.len - 1)) &&
+                read32(mp) == first4) {
+                int fwd = MINMATCH + count_match(ip + MINMATCH, mp + MINMATCH,
+                                                matchlimit);
+                int back = 0;
+                while (ip - back > low && mp - back > wbase &&
+                       ip[-back - 1] == mp[-back - 1])
+                    ++back;
+                int total = fwd + back;
+                if (total > best.len) {
+                    best.len = total;
+                    best.off = (int)(ip - mp);
+                    best.back = back;
+                    if (ip + fwd >= matchlimit) break;
+                    if (total >= sufficient) break;
+                }
+            }
+            cand = chain[(cand - 1) & 0xFFFF];
+        }
+        return best;
     }
 };
 
@@ -441,43 +526,177 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
         return (int)(op - dst);
     }
 
+    // Parse strategy (reference analog: LZ4HC_compress_hashChain,
+    // lz4hc.c:1178-1330): hold up to three overlapping candidate matches
+    // m1/m2/m3 — m2 probed near m1's tail, m3 near m2's tail, each probe a
+    // fresh hash bucket with back-widening — and resolve overlaps so the
+    // emitted parse keeps the longest usable spans. OPTIMAL_ML caps how
+    // much of m1 is worth keeping when m2 must start inside it.
     if (src_size >= MFLIMIT + 1) {
+        constexpr int OPTIMAL_ML = 18;  // (ML_MASK-1) + MINMATCH
+        // level 9 walks chains without the good-enough cutoff (the cutoff
+        // trades a sliver of ratio for speed at the middle levels)
+        const int sufficient =
+            level >= 9 ? 0x7FFFFFFF : ChainFinder::SUFFICIENT_LEN;
+        using Match = ChainFinder::Match;
         ChainFinder cf(wbase, (size_t)(iend - wbase));
-        cf.next_insert = (uint32_t)(src - wbase) > 0 ? 0 : 0;
         // preload dictionary into chains
         if (src > wbase) cf.insert_upto(src);
 
         while (ip <= mflimit) {
-            const uint8_t* match = nullptr;
-            int mlen = cf.find(ip, matchlimit, attempts, &match);
-            if (mlen == 0) {
+            Match m1 = cf.search(ip, ip, matchlimit, attempts, MINMATCH - 1,
+                                 sufficient);
+            if (m1.off == 0) {
                 ++ip;
                 continue;
             }
-            // lazy matching: would starting one byte later be better?
-            // (long matches are rarely beaten — skip the re-search)
-            while (mlen < 64 && ip + 1 <= mflimit) {
-                const uint8_t* match2 = nullptr;
-                int mlen2 = cf.find(ip + 1, matchlimit, attempts, &match2);
-                if (mlen2 > mlen + 1) {  // better enough to defer
+            // high-budget extra exploration (level 9): also consider
+            // starting the match one position later — each step probes a
+            // fresh hash bucket, which the tail-probe arbitration below
+            // cannot reach (this recovers the exploration breadth of a
+            // repeated-lazy parse at a fraction of its cost)
+            if (attempts >= 512) {
+                while (m1.len < 64 && ip + 1 <= mflimit) {
+                    Match mb = cf.search(ip + 1, ip + 1, matchlimit,
+                                         attempts, m1.len + 1, sufficient);
+                    if (mb.off == 0) break;
                     ++ip;
-                    match = match2;
-                    mlen = mlen2;
-                } else {
-                    break;
+                    m1 = mb;
                 }
             }
-            // backward extension
-            while (ip > anchor && match > wbase && ip[-1] == match[-1]) {
-                --ip;
-                --match;
-                ++mlen;
+            const uint8_t* start0 = ip;  // in case skipping m1 was a mistake
+            Match m0 = m1;
+            const uint8_t* start2;
+            Match m2;
+
+        search2:
+            if (ip + m1.len <= mflimit) {
+                start2 = ip + m1.len - 2;
+                m2 = cf.search(start2, ip, matchlimit, attempts, m1.len,
+                               sufficient);
+                start2 -= m2.back;
+            } else {
+                m2 = Match{0, 0, 0};
+                start2 = nullptr;
             }
-            uint32_t offset = (uint32_t)(ip - match);
-            op = emit_sequence(op, oend, anchor, (int)(ip - anchor), offset, mlen);
-            if (!op) return 0;
-            ip += mlen;
-            anchor = ip;
+            if (m2.off == 0 || m2.len <= m1.len) {
+                // no better overlapping match: emit m1 as-is
+                op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
+                                   (uint32_t)m1.off, m1.len);
+                if (!op) return 0;
+                ip += m1.len;
+                anchor = ip;
+                continue;
+            }
+            if (start0 < ip && start2 < ip + m0.len) {
+                // m1 had replaced the original match but m2 now squeezes
+                // into the original's span: restore the original
+                ip = start0;
+                m1 = m0;
+            }
+            if (start2 - ip < 3) {
+                // m1 too small to be worth keeping: m2 takes its place
+                ip = start2;
+                m1 = m2;
+                goto search2;
+            }
+
+        search3:
+            // if m2 starts inside m1's optimal span, shift m2 forward so a
+            // useful chunk of m1 (<= OPTIMAL_ML) can still be emitted
+            if (start2 - ip < OPTIMAL_ML) {
+                int keep = m1.len;
+                if (keep > OPTIMAL_ML) keep = OPTIMAL_ML;
+                if (ip + keep > start2 + m2.len - MINMATCH)
+                    keep = (int)(start2 - ip) + m2.len - MINMATCH;
+                int corr = keep - (int)(start2 - ip);
+                if (corr > 0) {
+                    start2 += corr;
+                    m2.len -= corr;
+                }
+            }
+            {
+                const uint8_t* start3;
+                Match m3;
+                if (start2 + m2.len <= mflimit) {
+                    start3 = start2 + m2.len - 3;
+                    m3 = cf.search(start3, start2, matchlimit, attempts,
+                                   m2.len, sufficient);
+                    start3 -= m3.back;
+                } else {
+                    m3 = Match{0, 0, 0};
+                    start3 = nullptr;
+                }
+                if (m3.off == 0 || m3.len <= m2.len) {
+                    // encode m1 (truncated at m2's start) then m2
+                    if (start2 < ip + m1.len) m1.len = (int)(start2 - ip);
+                    op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
+                                       (uint32_t)m1.off, m1.len);
+                    if (!op) return 0;
+                    anchor = ip + m1.len;
+                    op = emit_sequence(op, oend, anchor,
+                                       (int)(start2 - anchor),
+                                       (uint32_t)m2.off, m2.len);
+                    if (!op) return 0;
+                    ip = start2 + m2.len;
+                    anchor = ip;
+                    continue;
+                }
+                if (start3 < ip + m1.len + 3) {
+                    // m3 leaves no room for m2
+                    if (start3 >= ip + m1.len) {
+                        // m1 can be emitted whole; m2 is squeezed out and
+                        // m3 becomes the new m1
+                        if (start2 < ip + m1.len) {
+                            int corr = (int)(ip + m1.len - start2);
+                            start2 += corr;
+                            m2.len -= corr;
+                            if (m2.len < MINMATCH) {
+                                start2 = start3;
+                                m2 = m3;
+                            }
+                        }
+                        op = emit_sequence(op, oend, anchor,
+                                           (int)(ip - anchor),
+                                           (uint32_t)m1.off, m1.len);
+                        if (!op) return 0;
+                        anchor = ip + m1.len;
+                        ip = start3;
+                        m1 = m3;
+                        start0 = start2;
+                        m0 = m2;
+                        goto search2;
+                    }
+                    start2 = start3;
+                    m2 = m3;
+                    goto search3;
+                }
+                // three ascending matches: emit m1 (bounded by m2), then
+                // slide the window: m2->m1, m3->m2
+                if (start2 < ip + m1.len) {
+                    if (start2 - ip < OPTIMAL_ML) {
+                        if (m1.len > OPTIMAL_ML) m1.len = OPTIMAL_ML;
+                        if (ip + m1.len > start2 + m2.len - MINMATCH)
+                            m1.len = (int)(start2 - ip) + m2.len - MINMATCH;
+                        int corr = m1.len - (int)(start2 - ip);
+                        if (corr > 0) {
+                            start2 += corr;
+                            m2.len -= corr;
+                        }
+                    } else {
+                        m1.len = (int)(start2 - ip);
+                    }
+                }
+                op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
+                                   (uint32_t)m1.off, m1.len);
+                if (!op) return 0;
+                anchor = ip + m1.len;
+                ip = start2;
+                m1 = m2;
+                start2 = start3;
+                m2 = m3;
+                goto search3;
+            }
         }
     }
 
@@ -647,8 +866,10 @@ LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
 LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
                                 int src_size, uint8_t* dst, int dst_cap,
                                 int level) {
-    if (level > 1) {
-        // HC levels keep the straightforward per-call window path
+    if (level > 1 || src_size >= 65536) {
+        // HC levels keep the straightforward per-call window path; so do
+        // >=64 KiB blocks, whose greedy path hashes 5 bytes (the prebuilt
+        // table is 4-byte-hashed and the rebuild cost amortizes anyway)
         return lz4r_compress(src, src_size, dst, dst_cap, level,
                              c->scratch.data(), (int)c->window_size);
     }

@@ -74,8 +74,10 @@ def test_ratio_vs_native_greedy(text_1mb):
     comp_dev = encode_jax.encode_block_host(data)
     comp_nat = native.compress(data, level=1)
     assert comp_dev is not None
-    # device greedy should be within 15% of the native greedy encoder
-    assert len(comp_dev) <= int(len(comp_nat) * 1.15), (
+    # device greedy should be within 25% of the native greedy encoder
+    # (native L1 hashes 5 bytes on >=64 KiB inputs since round 2, which
+    # widened the gap; the device encoder still hashes 4)
+    assert len(comp_dev) <= int(len(comp_nat) * 1.25), (
         len(comp_dev), len(comp_nat))
 
 

@@ -1,0 +1,199 @@
+"""Independent conformance vs the reference's vendored upstream lz4 v1.10.0.
+
+This anchors the BASELINE.md north-star contract to an implementation we did
+not write (reference: internal/pkg/clz4/{lz4.c,lz4hc.c}, the exact codec the
+reference calls through CGO — clz4/clz4.go:27-94):
+
+  * every repo encoder's output decodes bit-exactly with upstream
+    LZ4_decompress_safe[_usingDict];
+  * upstream-compressed blocks (fast + HC 2-12, dict + linked-chain modes)
+    decode bit-exactly on every repo decoder;
+  * our compressed size is <= upstream's at every mapped level on multiple
+    corpora (the "size <= plz4" half of the contract).
+
+The fixture corpus includes the one sample surviving in the mount
+(internal/test/samples/dict.bin.bz2). Skips when the reference mount or a C
+compiler is unavailable.
+"""
+
+import bz2
+import os
+
+import pytest
+
+import upstream_oracle as up
+from plz4_tpu import native
+from plz4_tpu.ops import decode_jax, decode_pallas, encode_jax, encode_pallas
+
+from conftest import make_compressible, make_incompressible
+
+pytestmark = pytest.mark.skipif(
+    not up.available(), reason=lambda: up.unavailable_reason())
+
+_DICT_SAMPLE = "/root/reference/internal/test/samples/dict.bin.bz2"
+
+
+def _dict_bin() -> bytes:
+    with open(_DICT_SAMPLE, "rb") as f:
+        return bz2.decompress(f.read())
+
+
+def corpus():
+    c = [
+        ("text64k", make_compressible(65536, seed=90)),
+        ("mixed", make_compressible(30000, seed=92)
+         + make_incompressible(8000, seed=93) + b"Z" * 12000),
+        ("zeros", b"\x00" * 50000),
+        ("period5", (make_incompressible(5, seed=91) * 10000)[:50000]),
+        ("random", make_incompressible(32768, seed=5)),
+    ]
+    if os.path.exists(_DICT_SAMPLE):
+        c.append(("dictbin", _dict_bin()[:65536]))
+    return c
+
+
+CORPUS = corpus() if up.available() else []
+CORPUS_IDS = [name for name, _ in CORPUS]
+
+
+# --- our encoders -> upstream decoder --------------------------------------
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 6, 9, 10, 12])
+@pytest.mark.parametrize("name,data", CORPUS, ids=CORPUS_IDS)
+def test_native_encode_upstream_decode(level, name, data):
+    comp = native.compress(data, level=level)
+    assert up.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("name,data", CORPUS[:3], ids=CORPUS_IDS[:3])
+def test_array_encode_upstream_decode(name, data):
+    data = data[:8000]
+    comp = encode_jax.encode_block_host(data)
+    if comp is None:  # encoder flagged incompressible
+        return
+    assert up.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("name,data", CORPUS[:3], ids=CORPUS_IDS[:3])
+def test_pallas_encode_upstream_decode(name, data):
+    data = data[:8000]
+    comp = encode_pallas.encode_block_host(data, interpret=True)
+    if comp is None:
+        return
+    assert up.decompress(comp, len(data)) == data
+
+
+# --- upstream encoder -> our decoders --------------------------------------
+
+
+@pytest.mark.parametrize("level", [1, 3, 6, 9, 12])
+@pytest.mark.parametrize("name,data", CORPUS, ids=CORPUS_IDS)
+def test_upstream_encode_native_decode(level, name, data):
+    comp = up.compress(data, level)
+    assert native.decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("name,data", CORPUS[:3], ids=CORPUS_IDS[:3])
+def test_upstream_encode_device_decoders(name, data):
+    data = data[:8000]
+    comp = up.compress(data, 6)
+    cap = max(len(data), 16)
+    assert decode_jax.decode_block_host(comp, out_cap=cap) == data
+    assert decode_pallas.decode_block_host(
+        comp, out_cap=cap, interpret=True) == data
+
+
+# --- size contract: ours <= upstream at every level ------------------------
+
+
+@pytest.mark.parametrize("name,data", CORPUS, ids=CORPUS_IDS)
+def test_size_contract_every_level(name, data):
+    deltas = {}
+    for level in range(1, 13):
+        ours = len(native.compress(data, level=level))
+        theirs = len(up.compress(data, level))
+        deltas[level] = ours - theirs
+    losses = {lv: d for lv, d in deltas.items() if d > 0}
+    assert not losses, (
+        f"compressed size exceeds upstream on {name}: {losses} "
+        f"(full deltas {deltas})")
+
+
+# --- dictionary conformance -------------------------------------------------
+
+
+@pytest.mark.parametrize("level", [1, 6, 12])
+def test_dict_compress_upstream_decodes(level):
+    dict_ = _dict_bin()[:65536] if os.path.exists(_DICT_SAMPLE) else \
+        make_compressible(30000, seed=1)
+    data = make_compressible(20000, seed=40)
+    comp = native.compress(data, level=level, dict_=dict_)
+    assert up.decompress(comp, len(data), dict_=dict_) == data
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_upstream_dict_compress_we_decode(level):
+    dict_ = _dict_bin()[:65536] if os.path.exists(_DICT_SAMPLE) else \
+        make_compressible(30000, seed=1)
+    data = make_compressible(20000, seed=41)
+    comp = up.compress_linked([data], level=level, dict_=dict_)[0]
+    assert native.decompress(comp, len(data), dict_=dict_) == data
+
+
+# --- linked-chain conformance (the linked-frame block sequence) -------------
+
+
+@pytest.mark.parametrize("level", [1, 6])
+def test_upstream_linked_chain_we_decode(level):
+    blocks = [make_compressible(16000, seed=50 + i) for i in range(5)]
+    chain = up.compress_linked(blocks, level=level)
+    window = b""
+    for raw, comp in zip(blocks, chain):
+        out = native.decompress(comp, len(raw),
+                                dict_=window if window else None)
+        assert out == raw
+        window = (window + out)[-65536:]
+
+
+@pytest.mark.parametrize("level", [1, 6])
+def test_our_linked_chain_upstream_decodes(level):
+    blocks = [make_compressible(16000, seed=60 + i) for i in range(5)]
+    window = b""
+    for raw in blocks:
+        comp = native.compress(raw, level=level,
+                               dict_=window if window else None)
+        out = up.decompress(comp, len(raw), dict_=window if window else None)
+        assert out == raw
+        window = (window + raw)[-65536:]
+
+
+# --- frame-level: upstream blocks wrapped in our frames round-trip ----------
+
+
+def test_frame_of_upstream_blocks_decodes():
+    """Hand-build an LZ4 frame whose block payloads were produced by the
+    upstream codec; our frame Reader must decode it bit-exactly."""
+    import io
+
+    from plz4_tpu import Reader
+    from plz4_tpu.frame import block_io, header as hdr, trailer
+
+    payload = make_compressible(200000, seed=70)
+    bs = 65536
+    pieces = [hdr.write_header(block_size_idx=4, block_linked=False,
+                               block_checksum=False, content_checksum=False,
+                               content_size=None, dict_id=None)]
+    for i in range(0, len(payload), bs):
+        blk = payload[i:i + bs]
+        comp = up.compress_fast(blk)
+        if len(comp) >= len(blk):
+            pieces.append(block_io.frame_block(blk, True, False,
+                                               hash_fn=native.xxh32))
+        else:
+            pieces.append(block_io.frame_block(comp, False, False,
+                                               hash_fn=native.xxh32))
+    pieces.append(trailer.write_trailer(None))
+    stream = b"".join(pieces)
+    with Reader(io.BytesIO(stream)) as r:
+        assert r.read() == payload
