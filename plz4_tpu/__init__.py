@@ -8,7 +8,28 @@ block codec running as batched, sharded JAX computations on TPU and a native
 C++ host codec for the serial/sync paths.
 """
 
-from . import errors  # noqa: F401
+def _tune_allocator() -> None:
+    """Pin glibc's mmap/trim thresholds so multi-MB buffers (block batches,
+    one-shot outputs) are served from reusable heap pages instead of fresh
+    mmaps. Fresh mmap pages must be demand-faulted on every call — measured
+    at >500 ms per 32 MiB under this class of VM — while recycled heap pages
+    are free. Opt out with PLZ4_NO_MALLOPT=1."""
+    import ctypes
+    import os
+
+    if os.environ.get("PLZ4_NO_MALLOPT"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # non-glibc platforms: best effort only
+        pass
+
+
+_tune_allocator()
+
+from . import errors  # noqa: F401,E402
 from .api import (  # noqa: F401
     DictContext,
     Reader,

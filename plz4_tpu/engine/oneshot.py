@@ -104,27 +104,33 @@ def _parse_stream(data: bytes):
     return frames
 
 
-def _decode_chunk(data, blocks, cap):
-    """Worker: verify block checksums + decompress a chunk of blocks.
-    Returns list of memoryviews/bytes in order."""
+def _decode_chunk_into(data, blocks, cap, out_buf, out_offs):
+    """Worker: verify block checksums + decompress a chunk of blocks
+    DIRECTLY into their final offsets of the shared output buffer (one
+    GIL-releasing C batch call, zero per-block output allocations).
+    Returns the per-block decoded sizes."""
     lib = native._load()
-    out = []
-    # group the compressed ones into one C batch; pass through raw ones
-    comp = [data[off : off + sz] for (off, sz, unc, _) in blocks if not unc]
     for off, sz, unc, want in blocks:
         if want is not None:
             got = lib.lz4r_xxh32(
                 native._as_u8p(data[off : off + sz]), sz, 0)
             if int(got) != want:
                 raise zerr.ErrBlockHash
-    decoded = native.decompress_batch(comp, cap) if comp else []
-    it = iter(decoded)
-    for off, sz, unc, _ in blocks:
+    comp = [data[off : off + sz] for (off, sz, unc, _) in blocks if not unc]
+    comp_offs = [o for o, (_, _, unc, _) in zip(out_offs, blocks) if not unc]
+    if comp:
+        comp_sizes = native.decompress_batch_into(
+            comp, out_buf, np.asarray(comp_offs, dtype=np.int64), cap)
+    it = iter(comp_sizes) if comp else iter(())
+    sizes = []
+    for dst_off, (off, sz, unc, _) in zip(out_offs, blocks):
         if unc:
-            out.append(data[off : off + sz])
+            out_buf[dst_off : dst_off + sz] = np.frombuffer(
+                data, dtype=np.uint8, count=sz, offset=off)
+            sizes.append(sz)
         else:
-            out.append(next(it))
-    return out
+            sizes.append(int(next(it)))
+    return sizes
 
 
 def _encode_chunk(view, spans, level, cap):
@@ -217,38 +223,71 @@ def decompress_bytes(data: bytes, o: Options):
     workers = o.resolved_parallel()
     submit, cleanup = _submitter(o)
     try:
+        # layout: every frame's blocks decode into slot offsets (stride =
+        # block size) of ONE shared buffer; when all non-final blocks fill
+        # their slots (the overwhelmingly common case) the result is
+        # already contiguous and assembly is a single slice
+        total_cap = sum(
+            fr.header.block_size * len(fr.blocks) for fr in frames)
+        out_buf = native.buffer_pool.take(total_cap)
+        ok = False
         results = []
+        base = 0
         for fr in frames:
             blocks = fr.blocks
-            cap = fr.header.block_size
+            bs = fr.header.block_size
             if not blocks:
-                results.append((fr, []))
+                results.append((fr, base, [], []))
                 continue
             n_chunks = min(len(blocks), workers * 2)
             per = (len(blocks) + n_chunks - 1) // n_chunks
-            futs = [
-                submit(_decode_chunk, view, blocks[i : i + per], cap)
-                for i in range(0, len(blocks), per)
-            ]
-            results.append((fr, futs))
+            futs = []
+            chunk_offs = []
+            for i in range(0, len(blocks), per):
+                offs = [base + (i + j) * bs
+                        for j in range(len(blocks[i : i + per]))]
+                futs.append(submit(_decode_chunk_into, view,
+                                   blocks[i : i + per], bs, out_buf, offs))
+                chunk_offs.append(offs)
+            results.append((fr, base, futs, chunk_offs))
+            base += bs * len(blocks)
 
         pieces = []
-        for fr, futs in results:
-            frame_pieces = []
+        for fr, base, futs, chunk_offs in results:
+            sizes = []
             for fut in futs:
-                frame_pieces.extend(fut.result())
-            out_sz = sum(len(p) for p in frame_pieces)
+                sizes.extend(fut.result())
+            bs = fr.header.block_size
+            out_sz = sum(sizes)
             h = fr.header
             if (o.content_size_check and h.content_size is not None
                     and out_sz != h.content_size):
                 raise zerr.ErrContentSize
+            if all(s == bs for s in sizes[:-1]):
+                frame_view = out_buf[base : base + out_sz]
+            else:
+                # rare: flush-boundary partial blocks mid-frame — compact
+                parts = []
+                off = base
+                for s in sizes:
+                    parts.append(out_buf[off : off + s])
+                    off += bs
+                frame_view = np.concatenate(parts) if parts else \
+                    out_buf[base:base]
             if h.content_checksum and fr.content_checksum is not None:
-                st = native.Xxh32Stream()
-                for p in frame_pieces:
-                    st.update(np.frombuffer(p, dtype=np.uint8))
-                if st.digest() != fr.content_checksum:
+                if native.xxh32(frame_view) != fr.content_checksum:
                     raise zerr.ErrContentHash
-            pieces.extend(frame_pieces)
-        return b"".join(pieces)
+            pieces.append(frame_view)
+        if len(pieces) == 1:
+            result = pieces[0].tobytes()
+        else:
+            result = b"".join(p.tobytes() for p in pieces)
+        ok = True
+        return result
     finally:
         cleanup()
+        if ok:
+            # all futures resolved and the result copied out: the scratch
+            # buffer can be reused (on errors it is dropped instead — a
+            # shared-pool worker might still be writing into it)
+            native.buffer_pool.give(out_buf)

@@ -70,7 +70,7 @@ class FrameReader:
         self._ready: deque = deque()     # decoded blocks awaiting consumption
         self._device_queue: deque = deque()
         self._hasher: native.Xxh32Stream | None = None
-        self._window = bytearray()
+        self._dstream: native.StreamDecompressor | None = None
         self._frame_dict: bytes | None = None
         self._frame_decoded = 0
         self._check_content = True
@@ -213,7 +213,7 @@ class FrameReader:
         if d is not None and len(d) > WINDOW_SIZE:
             d = d[-WINDOW_SIZE:]
         self._frame_dict = d
-        self._window = bytearray(d or b"")
+        self._dstream = None  # fresh rolling window per frame
 
         # random access (first frame only; reference: rdr/rdr.go:264-285)
         if self._first_frame and self._o.read_offset is not None:
@@ -305,12 +305,16 @@ class FrameReader:
             return None
         h = self._hdr
         if not h.block_independent:
-            d = bytes(self._window) if self._window else None
-            out = _decompress_job(blk.data, blk.uncompressed, h.block_size, d)
-            self._window += out
-            if len(self._window) > WINDOW_SIZE:
-                del self._window[: len(self._window) - WINDOW_SIZE]
-            return out
+            # rolling window lives in a C-side stream context: no per-block
+            # window re-materialization (reference keeps a Python-side DictT
+            # analog instead, compress/dict.go:171-184)
+            if self._dstream is None:
+                self._dstream = native.StreamDecompressor(
+                    dict_=self._frame_dict)
+            if blk.uncompressed:
+                self._dstream.append_raw(blk.data)
+                return blk.data
+            return self._dstream.decompress(blk.data, h.block_size)
         return _decompress_job(
             blk.data, blk.uncompressed, h.block_size, self._frame_dict)
 

@@ -158,6 +158,7 @@ class FrameWriter:
         self._group_n = _group_size(self._o.block_size_idx)
         self._use_device = self._o.backend == "device"
         self._device_stage: list = []  # (src, window) tuples
+        self._stream: native.StreamCompressor | None = None  # sync linked
 
     # ------------------------------------------------------------------
     # public API
@@ -321,6 +322,12 @@ class FrameWriter:
         self._ensure_header()
         if self._hasher is not None:
             self._hasher.update(src)
+        if (self._parallel == 0 and self._o.block_linked
+                and not self._use_device):
+            # sync linked mode skips the window snapshot entirely (the
+            # stream context below carries it)
+            self._submit_sync_linked(src)
+            return
         d = self._current_dict()
         self._advance_window(src)
 
@@ -343,6 +350,19 @@ class FrameWriter:
         self._group.append((src, d, self._o.level))
         if len(self._group) >= self._group_n:
             self._submit_group()
+
+    def _submit_sync_linked(self, src: bytes) -> None:
+        """Sync linked mode: a stateful stream context carries match state
+        across blocks — no per-block window loading at all (reference
+        analog: LZ4_compress_fast_continue, clz4/clz4.go:211-286)."""
+        if self._stream is None:
+            self._stream = native.StreamCompressor(
+                self._o.level, dict_=self._o.dictionary)
+        if len(src) == 0:
+            self._emit(b"", True, 0)
+            return
+        out = self._stream.compress(src, len(src) - 1 if len(src) > 1 else 1)
+        self._emit(src if out is None else out, out is None, len(src))
 
     def _submit_group(self) -> None:
         if not self._group:

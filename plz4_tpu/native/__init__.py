@@ -92,6 +92,25 @@ def _load():
             ctypes.c_int,
         ]
         lib.lz4r_dict_free.argtypes = [ctypes.c_void_p]
+        lib.lz4r_stream_create.restype = ctypes.c_void_p
+        lib.lz4r_stream_create.argtypes = [ctypes.c_int]
+        lib.lz4r_stream_load_dict.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int]
+        lib.lz4r_stream_compress.restype = ctypes.c_int
+        lib.lz4r_stream_compress.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int, u8p, ctypes.c_int]
+        lib.lz4r_stream_free.argtypes = [ctypes.c_void_p]
+        lib.lz4r_dstream_create.restype = ctypes.c_void_p
+        lib.lz4r_dstream_create.argtypes = []
+        lib.lz4r_dstream_load_dict.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int]
+        lib.lz4r_dstream_decompress.restype = ctypes.c_int
+        lib.lz4r_dstream_decompress.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.lz4r_dstream_append.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int]
+        lib.lz4r_dstream_free.argtypes = [ctypes.c_void_p]
         lib.lz4r_xxh32.restype = ctypes.c_uint32
         lib.lz4r_xxh32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
         lib.lz4r_xxh32_create.restype = ctypes.c_void_p
@@ -113,16 +132,73 @@ def available() -> bool:
         return False
 
 
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
 def _as_u8p(buf) -> ctypes.POINTER(ctypes.c_uint8):
     """Zero-copy pointer view of a bytes-like buffer (the C side never
     mutates inputs). Callers must keep `buf` alive across the call — all
     uses here are synchronous."""
     if buf is None or len(buf) == 0:
-        return ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+        return ctypes.cast(None, _U8P)
+    if isinstance(buf, bytes):
+        return ctypes.cast(buf, _U8P)  # no numpy detour on the hot path
     if isinstance(buf, np.ndarray):
-        return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        return buf.ctypes.data_as(_U8P)
     view = np.frombuffer(buf, dtype=np.uint8)  # no copy, read-only ok
-    return view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return view.ctypes.data_as(_U8P)
+
+
+class _TLBuf(threading.local):
+    """Per-thread reusable output buffer for the small-block hot paths
+    (DictContext records, per-block decompress): avoids a numpy allocation
+    + copy per call, which costs more than the codec for ~1 KiB records."""
+
+    def get(self, cap: int):
+        buf = getattr(self, "buf", None)
+        if buf is None or len(buf) < cap:
+            self.buf = buf = ctypes.create_string_buffer(
+                max(cap, 1 << 16))
+        return buf
+
+
+_tl_out = _TLBuf()
+
+
+class _ArrayPool:
+    """Free-list of large numpy scratch buffers, power-of-two size classes
+    (reference analog: the blk.BorrowBlk/ReturnBlk size-class pools,
+    blk/pool.go:275-301). Beyond allocator churn, this matters enormously
+    here: first-touch page faults on fresh multi-MB allocations cost
+    hundreds of milliseconds under this VM's demand paging, so reusing
+    already-faulted pages is a 10-100x lever on the one-shot fast paths."""
+
+    def __init__(self, max_per_class: int = 3) -> None:
+        self._lock = threading.Lock()
+        self._free: dict[int, list] = {}
+        self._max = max_per_class
+        self.borrowed = 0  # leak-check hook for tests
+
+    def take(self, n: int) -> np.ndarray:
+        cls = 1 << max(16, (max(n, 1) - 1).bit_length())
+        with self._lock:
+            lst = self._free.get(cls)
+            self.borrowed += 1
+            if lst:
+                return lst.pop()
+        return np.empty(cls, dtype=np.uint8)
+
+    def give(self, arr: np.ndarray) -> None:
+        cls = arr.nbytes
+        with self._lock:
+            self.borrowed -= 1
+            if cls & (cls - 1) == 0:  # only class-sized buffers re-enter
+                lst = self._free.setdefault(cls, [])
+                if len(lst) < self._max:
+                    lst.append(arr)
+
+
+buffer_pool = _ArrayPool()
 
 
 def compress_bound(src_size: int) -> int:
@@ -134,15 +210,15 @@ def compress(src: bytes, level: int = 1, dict_: bytes | None = None) -> bytes:
     caller stores the block raw — reference: blk/blk.go:75-92)."""
     lib = _load()
     cap = lib.lz4r_compress_bound(len(src))
-    dst = np.empty(cap, dtype=np.uint8)
+    dst = _tl_out.get(cap)
     n = lib.lz4r_compress(
         _as_u8p(src), len(src),
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.cast(dst, _U8P), cap,
         int(level), _as_u8p(dict_), len(dict_) if dict_ else 0,
     )
     if n <= 0:
         raise zerr.ErrCompress
-    return dst[:n].tobytes()
+    return ctypes.string_at(dst, n)
 
 
 def compress_into(src: bytes, dst_cap: int, level: int = 1,
@@ -150,29 +226,29 @@ def compress_into(src: bytes, dst_cap: int, level: int = 1,
     """Compress with an explicit output cap; None when it doesn't fit
     (incompressible fallback path)."""
     lib = _load()
-    dst = np.empty(max(dst_cap, 1), dtype=np.uint8)
+    dst = _tl_out.get(dst_cap)
     n = lib.lz4r_compress(
         _as_u8p(src), len(src),
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst_cap,
+        ctypes.cast(dst, _U8P), dst_cap,
         int(level), _as_u8p(dict_), len(dict_) if dict_ else 0,
     )
     if n <= 0:
         return None
-    return dst[:n].tobytes()
+    return ctypes.string_at(dst, n)
 
 
 def decompress(src: bytes, dst_cap: int, dict_: bytes | None = None) -> bytes:
     """Decompress one LZ4 block into at most dst_cap bytes."""
     lib = _load()
-    dst = np.empty(max(dst_cap, 1), dtype=np.uint8)
+    dst = _tl_out.get(dst_cap)
     n = lib.lz4r_decompress(
         _as_u8p(src), len(src),
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst_cap,
+        ctypes.cast(dst, _U8P), dst_cap,
         _as_u8p(dict_), len(dict_) if dict_ else 0,
     )
     if n < 0:
         raise zerr.ErrDecompress
-    return dst[:n].tobytes()
+    return ctypes.string_at(dst, n)
 
 
 def xxh32(data, seed: int = 0) -> int:
@@ -203,7 +279,7 @@ def compress_batch(blocks: list[bytes], cap_each: int,
     views = [np.frombuffer(b, dtype=np.uint8) for b in blocks]
     srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in views])
     sizes = np.array([len(b) for b in blocks], np.int32)
-    dst = np.empty(n * cap_each, np.uint8)
+    dst = buffer_pool.take(n * cap_each)
     dst_offs = np.arange(n, dtype=np.int64) * cap_each
     out_sizes = np.zeros(n, np.int32)
     lib.lz4r_compress_batch_ptrs(
@@ -218,6 +294,7 @@ def compress_batch(blocks: list[bytes], cap_each: int,
         else:
             base = i * cap_each
             out.append(dst[base : base + sz].tobytes())
+    buffer_pool.give(dst)
     return out
 
 
@@ -249,6 +326,29 @@ def decompress_batch(blocks: list[bytes], cap_each: int) -> list:
     return out
 
 
+def decompress_batch_into(blocks: list, dst_arr: np.ndarray,
+                          dst_offsets: np.ndarray, cap_each: int
+                          ) -> np.ndarray:
+    """Decompress many blocks in ONE C call directly into caller-chosen
+    offsets of one output buffer (zero per-block output allocation — the
+    one-shot fast path decodes a whole stream into its final resting
+    places). Returns the per-block decoded sizes."""
+    lib = _load()
+    n = len(blocks)
+    views = [np.frombuffer(b, dtype=np.uint8) for b in blocks]
+    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in views])
+    sizes = np.array([len(b) for b in blocks], np.int32)
+    out_sizes = np.zeros(n, np.int32)
+    lib.lz4r_decompress_batch_ptrs(
+        srcs, _i32p(sizes), n,
+        dst_arr.ctypes.data_as(_U8P), _i64p(np.ascontiguousarray(
+            dst_offsets, dtype=np.int64)),
+        np.int32(cap_each), _i32p(out_sizes))
+    if np.any(out_sizes < 0):
+        raise zerr.ErrDecompress
+    return out_sizes
+
+
 class DictContext:
     """Reusable compression dictionary (reference analog: the attached-dict
     compressor contexts, compress/indie.go:235-263). Build once, compress
@@ -267,14 +367,13 @@ class DictContext:
 
     def compress(self, src: bytes, level: int = 1) -> bytes:
         cap = self._lib.lz4r_compress_bound(len(src))
-        dst = np.empty(cap, dtype=np.uint8)
+        dst = _tl_out.get(cap)
         n = self._lib.lz4r_dict_compress(
             self._ctx, _as_u8p(src), len(src),
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-            int(level))
+            ctypes.cast(dst, _U8P), cap, int(level))
         if n <= 0:
             raise zerr.ErrCompress
-        return dst[:n].tobytes()
+        return ctypes.string_at(dst, n)
 
     def decompress(self, src: bytes, dst_cap: int) -> bytes:
         return decompress(src, dst_cap, dict_=self._dict)
@@ -282,6 +381,74 @@ class DictContext:
     def __del__(self):  # pragma: no cover
         try:
             self._lib.lz4r_dict_free(self._ctx)
+        except Exception:
+            pass
+
+
+class StreamCompressor:
+    """Stateful chained-block compressor (reference analog: the streaming
+    contexts LZ4_loadDict + LZ4_compress_fast_continue / HC,
+    clz4/clz4.go:211-286). Match state carries ACROSS blocks, so a linked
+    chain pays no per-block window loading at all. Serial use only (one
+    stream per chain)."""
+
+    def __init__(self, level: int = 1, dict_: bytes | None = None) -> None:
+        self._lib = _load()
+        self._ctx = self._lib.lz4r_stream_create(int(level))
+        if dict_:
+            self._lib.lz4r_stream_load_dict(
+                self._ctx, _as_u8p(dict_), len(dict_))
+
+    def compress(self, src: bytes, dst_cap: int | None = None
+                 ) -> bytes | None:
+        """Compress the next chained block; None when it doesn't fit in
+        dst_cap (store raw — state stays consistent either way)."""
+        cap = dst_cap if dst_cap is not None else \
+            self._lib.lz4r_compress_bound(len(src))
+        dst = np.empty(max(cap, 1), dtype=np.uint8)
+        n = self._lib.lz4r_stream_compress(
+            self._ctx, _as_u8p(src), len(src),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n <= 0:
+            return None
+        return dst[:n].tobytes()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self._lib.lz4r_stream_free(self._ctx)
+        except Exception:
+            pass
+
+
+class StreamDecompressor:
+    """Stateful chained-block decompressor: decoded history stays in one
+    contiguous C-side buffer (no per-block window re-materialization —
+    reference analog: the rolling DictT, compress/dict.go:171-184)."""
+
+    def __init__(self, dict_: bytes | None = None) -> None:
+        self._lib = _load()
+        self._ctx = self._lib.lz4r_dstream_create()
+        if dict_:
+            self._lib.lz4r_dstream_load_dict(
+                self._ctx, _as_u8p(dict_), len(dict_))
+
+    def decompress(self, src: bytes, out_cap: int) -> bytes:
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        n = self._lib.lz4r_dstream_decompress(
+            self._ctx, _as_u8p(src), len(src), out_cap,
+            ctypes.byref(out_ptr))
+        if n < 0:
+            raise zerr.ErrDecompress
+        return ctypes.string_at(out_ptr, n)
+
+    def append_raw(self, data: bytes) -> None:
+        """Extend the history with an uncompressed block's bytes."""
+        if len(data):
+            self._lib.lz4r_dstream_append(self._ctx, _as_u8p(data), len(data))
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self._lib.lz4r_dstream_free(self._ctx)
         except Exception:
             pass
 

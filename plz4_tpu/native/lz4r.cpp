@@ -163,13 +163,36 @@ inline uint8_t* emit_last_literals(uint8_t* op, uint8_t* const oend,
 // memory. Emits only for positions >= src. Returns compressed size, or 0 if
 // output would exceed dst_cap (incompressible signal), or -1 on bad args.
 // ---------------------------------------------------------------------------
-// tab: caller-provided 2^16-entry table. If preloaded==false and a window
-// prefix exists, dictionary positions are inserted here first (reference
-// analog: LZ4_loadDict; preloaded==true is the LZ4_attach_dictionary
-// amortization — the caller reuses a prebuilt table).
-int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
-                        int src_size, uint8_t* dst, int dst_cap, int accel,
-                        uint32_t* tab, bool preloaded) {
+// The hash table is accessed through a policy object so the dictionary
+// context can layer a per-record overlay on a shared read-only dict table
+// (reference analog: LZ4_attach_dictionary, lz4.c:1658 — sharing the dict's
+// match state across records without copying it).
+struct FlatTab {
+    uint32_t* t;
+    uint32_t get(uint32_t h) const { return t[h]; }
+    void put(uint32_t h, uint32_t v) { t[h] = v; }
+};
+
+// Epoch-tagged overlay: put() marks the slot for the current record; get()
+// falls through to the prebuilt dict table for untouched slots. No per-
+// record table copy or clear (the epoch bump invalidates the overlay).
+struct OverlayTab {
+    const uint32_t* base;
+    uint32_t* pos;
+    uint16_t* ep;
+    uint16_t cur;
+    uint32_t get(uint32_t h) const { return ep[h] == cur ? pos[h] : base[h]; }
+    void put(uint32_t h, uint32_t v) { pos[h] = v; ep[h] = cur; }
+};
+
+// preloaded==false inserts window-prefix positions first (reference analog:
+// LZ4_loadDict); preloaded==true means the table already covers the window.
+// h5_mode: -1 = auto by src_size, else forced (streams must keep one hash
+// width across blocks of varying size).
+template <class TAB>
+int compress_greedy_t(const uint8_t* wbase, const uint8_t* src,
+                      int src_size, uint8_t* dst, int dst_cap, int accel,
+                      TAB tab, bool preloaded, int h5_mode = -1) {
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
@@ -194,17 +217,17 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
         // 5-byte hashing on large inputs (see hash5); 4-byte below 64 KiB,
         // where marginal 4-byte matches at long offsets are instead rejected
         // explicitly (they cost 3 wire bytes and often split better parses)
-        const bool h5 = src_size >= 65536;
+        const bool h5 = h5_mode < 0 ? src_size >= 65536 : h5_mode != 0;
         if (!preloaded) {
             for (const uint8_t* dp = wbase; dp < src; ++dp) {
                 uint32_t h = h5 ? hash5(dp, hashlog)
                                 : hash4(read32(dp), hashlog);
-                tab[h] = (uint32_t)(dp - wbase);
+                tab.put(h, (uint32_t)(dp - wbase));
             }
         }
         // seed first position
-        tab[h5 ? hash5(ip, hashlog) : hash4(read32(ip), hashlog)] =
-            (uint32_t)(ip - wbase);
+        tab.put(h5 ? hash5(ip, hashlog) : hash4(read32(ip), hashlog),
+                (uint32_t)(ip - wbase));
         ++ip;
 
         for (;;) {
@@ -215,8 +238,8 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
                 if (ip > mflimit) goto last_literals;
                 uint32_t h = h5 ? hash5(ip, hashlog)
                                 : hash4(read32(ip), hashlog);
-                match = wbase + tab[h];
-                tab[h] = (uint32_t)(ip - wbase);
+                match = wbase + tab.get(h);
+                tab.put(h, (uint32_t)(ip - wbase));
                 if (match < ip && (uint32_t)(ip - match) <= MAX_DISTANCE &&
                     read32(match) == read32(ip)) {
                     if (!h5 && (uint32_t)(ip - match) > 512 &&
@@ -246,8 +269,9 @@ int compress_greedy_tab(const uint8_t* wbase, const uint8_t* src,
             }
             if (ip > mflimit) goto last_literals;
             // seed intermediate position for better future matches
-            tab[h5 ? hash5(ip - 2, hashlog) : hash4(read32(ip - 2), hashlog)] =
-                (uint32_t)(ip - 2 - wbase);
+            tab.put(h5 ? hash5(ip - 2, hashlog)
+                       : hash4(read32(ip - 2), hashlog),
+                    (uint32_t)(ip - 2 - wbase));
         }
     }
 
@@ -259,38 +283,85 @@ last_literals:
 
 int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
                     uint8_t* dst, int dst_cap, int accel) {
-    std::vector<uint32_t> tab((size_t)1 << 16, 0);
-    return compress_greedy_tab(wbase, src, src_size, dst, dst_cap, accel,
-                               tab.data(), false);
+    // reused per thread; preloaded=false always re-inserts the window, so
+    // stale entries only cost wasted candidate checks (each candidate is
+    // byte-verified) — but positions from a previous, longer buffer could
+    // alias into unrelated bytes, so the table is zeroed per call
+    static thread_local std::vector<uint32_t> tab;
+    tab.assign((size_t)1 << 16, 0);
+    return compress_greedy_t(wbase, src, src_size, dst, dst_cap, accel,
+                             FlatTab{tab.data()}, false);
 }
 
 // ---------------------------------------------------------------------------
 // HC: hash-chain match finder with lazy matching (levels 2-12).
 // ---------------------------------------------------------------------------
 struct ChainFinder {
+    // Positions are monotonically increasing across attach() calls so the
+    // tables never need clearing between blocks: entries below `floor_pos`
+    // are stale (they belong to a previous buffer) and every lookup rejects
+    // them. `wbase` is a VIRTUAL base — position p lives at wbase + p, and
+    // only [low_base, ...) is dereferenceable.
     const uint8_t* wbase;
+    const uint8_t* low_base;      // first valid byte (= wbase + floor_pos)
     int hashlog;
     std::vector<uint32_t> head;   // last position+1 for hash, 0 = empty
     std::vector<uint32_t> chain;  // prev position+1 keyed by pos & 0xFFFF
-    uint32_t next_insert;         // next position (rel wbase) to insert
+    uint32_t next_insert;         // next position to insert
+    uint32_t floor_pos;           // positions below this are invalid
 
-    ChainFinder(const uint8_t* wb, size_t total)
-        : wbase(wb),
+    ChainFinder()
+        : wbase(nullptr),
+          low_base(nullptr),
           hashlog(15),
           head((size_t)1 << 15, 0),
           chain(1 << 16, 0),
-          next_insert(0) {
+          next_insert(0),
+          floor_pos(0) {}
+
+    ChainFinder(const uint8_t* wb, size_t total) : ChainFinder() {
         (void)total;
+        wbase = wb;
+        low_base = wb;
+    }
+
+    void reset() {
+        std::fill(head.begin(), head.end(), 0);
+        std::fill(chain.begin(), chain.end(), 0);
+        next_insert = 0;
+        floor_pos = 0;
+        wbase = low_base = nullptr;
+    }
+
+    // Begin a fresh buffer: prior positions become unreachable without any
+    // table clearing (they fall below floor_pos). Resets on the rare u32
+    // position-space exhaustion.
+    void attach(const uint8_t* buf_start) {
+        if (next_insert > 0xF0000000u) reset();
+        floor_pos = next_insert;
+        low_base = buf_start;
+        wbase = buf_start - next_insert;
     }
 
     void insert_upto(const uint8_t* p) {
         uint32_t target = (uint32_t)(p - wbase);
-        while (next_insert < target) {
-            uint32_t h = hash4(read32(wbase + next_insert), hashlog);
-            chain[next_insert & 0xFFFF] = head[h];
-            head[h] = next_insert + 1;
-            ++next_insert;
+        if (target <= next_insert) return;
+        uint32_t i = next_insert;
+        // prefetch the head bucket a few positions ahead: the random head
+        // access is the insert loop's only cache-unfriendly touch
+        for (; i + 8 < target; ++i) {
+            __builtin_prefetch(&head[hash4(read32(wbase + i + 8), hashlog)],
+                               1);
+            uint32_t h = hash4(read32(wbase + i), hashlog);
+            chain[i & 0xFFFF] = head[h];
+            head[h] = i + 1;
         }
+        for (; i < target; ++i) {
+            uint32_t h = hash4(read32(wbase + i), hashlog);
+            chain[i & 0xFFFF] = head[h];
+            head[h] = i + 1;
+        }
+        next_insert = target;
     }
 
     // "good enough" match length: stop the chain walk once reached
@@ -309,6 +380,7 @@ struct ChainFinder {
         uint32_t cand = head[h];
         int best = 0;
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
+        if (lowest < floor_pos) lowest = floor_pos;
         uint32_t first4 = read32(ip);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
             const uint8_t* mp = wbase + (cand - 1);
@@ -353,6 +425,7 @@ struct ChainFinder {
         uint32_t cand = head[h];
         Match best{min_len, 0, 0};
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
+        if (lowest < floor_pos) lowest = floor_pos;
         uint32_t first4 = read32(ip);
         int lookback = (int)(ip - low);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
@@ -361,14 +434,14 @@ struct ChainFinder {
             // back extension) must agree on the 2 bytes at that boundary
             // (skipped when the hypothetical back-extended source would
             // fall before the window base)
-            if ((mp - wbase < lookback ||
+            if ((mp - low_base < lookback ||
                  read16(low + best.len - 1) ==
                      read16(mp - lookback + best.len - 1)) &&
                 read32(mp) == first4) {
                 int fwd = MINMATCH + count_match(ip + MINMATCH, mp + MINMATCH,
                                                 matchlimit);
                 int back = 0;
-                while (ip - back > low && mp - back > wbase &&
+                while (ip - back > low && mp - back > low_base &&
                        ip[-back - 1] == mp[-back - 1])
                     ++back;
                 int total = fwd + back;
@@ -395,7 +468,7 @@ int hc_attempts_for_level(int level) {
         case 6: return 64;
         case 7: return 128;
         case 8: return 256;
-        case 9: return 512;
+        case 9: return 256;
         case 10: return 512;   // opt parser: attempts per position
         case 11: return 1024;
         default: return 4096;  // 12+
@@ -508,8 +581,13 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     return op ? (int)(op - dst) : 0;
 }
 
+// `ext`: an already-synced finder whose history covers [window, src) — the
+// streaming path's amortization (no per-block window re-insert). When null,
+// a thread-local finder is attached fresh and the window is inserted here
+// (tables are never cleared between calls; see ChainFinder::attach).
 int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
-                uint8_t* dst, int dst_cap, int level) {
+                uint8_t* dst, int dst_cap, int level,
+                ChainFinder* ext = nullptr) {
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
@@ -539,9 +617,13 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
         const int sufficient =
             level >= 9 ? 0x7FFFFFFF : ChainFinder::SUFFICIENT_LEN;
         using Match = ChainFinder::Match;
-        ChainFinder cf(wbase, (size_t)(iend - wbase));
-        // preload dictionary into chains
-        if (src > wbase) cf.insert_upto(src);
+        static thread_local ChainFinder tl_cf;
+        ChainFinder& cf = ext ? *ext : tl_cf;
+        if (!ext) {
+            cf.attach(wbase);
+            // preload dictionary into chains
+            if (src > wbase) cf.insert_upto(src);
+        }
 
         while (ip <= mflimit) {
             Match m1 = cf.search(ip, ip, matchlimit, attempts, MINMATCH - 1,
@@ -549,20 +631,6 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
             if (m1.off == 0) {
                 ++ip;
                 continue;
-            }
-            // high-budget extra exploration (level 9): also consider
-            // starting the match one position later — each step probes a
-            // fresh hash bucket, which the tail-probe arbitration below
-            // cannot reach (this recovers the exploration breadth of a
-            // repeated-lazy parse at a fraction of its cost)
-            if (attempts >= 512) {
-                while (m1.len < 64 && ip + 1 <= mflimit) {
-                    Match mb = cf.search(ip + 1, ip + 1, matchlimit,
-                                         attempts, m1.len + 1, sufficient);
-                    if (mb.off == 0) break;
-                    ++ip;
-                    m1 = mb;
-                }
             }
             const uint8_t* start0 = ip;  // in case skipping m1 was a mistake
             Match m0 = m1;
@@ -740,15 +808,21 @@ LZ4R_API int lz4r_compress(const uint8_t* src, int src_size, uint8_t* dst,
     return compress_hc(src, src, src_size, dst, dst_cap, level);
 }
 
-// Safe decompress with optional detached dictionary. Returns decompressed
-// size, or -1 on corrupt input / overflow.
-LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
-                             int dst_cap, const uint8_t* dict, int dict_size) {
-    if (src_size < 0 || dst_cap < 0) return -1;
+// Decode core. `base` is the output buffer whose first `prefix` bytes are
+// ALREADY-DECODED history (a contiguous window — the streaming decoder's
+// amortization); decoding starts at base+prefix with `cap` bytes available
+// after the prefix. Matches reach the prefix naturally and fall through to
+// the optional DETACHED dict beyond it. Returns bytes decoded (excluding
+// the prefix), or -1 on corrupt input / overflow.
+static int decompress_core(const uint8_t* src, int src_size, uint8_t* base,
+                           size_t prefix, int cap, const uint8_t* dict,
+                           int dict_size) {
+    if (src_size < 0 || cap < 0) return -1;
     const uint8_t* ip = src;
     const uint8_t* const iend = src + src_size;
-    uint8_t* op = dst;
-    uint8_t* const oend = dst + dst_cap;
+    uint8_t* const dst = base;
+    uint8_t* op = base + prefix;
+    uint8_t* const oend = op + cap;
     if (dict_size > 65536) {
         dict += dict_size - 65536;
         dict_size = 65536;
@@ -756,11 +830,40 @@ LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
 
     if (src_size == 0) return -1;
 
+    // Fast-path margins: inside these bounds the common sequence shape
+    // (literals <= 14, match <= 18) runs straight-line with fixed-size wild
+    // copies and no per-byte checks; everything else (extensions, buffer
+    // tails, dict reaches, short offsets) takes the careful path below.
+    const uint8_t* const iend_fast = src_size >= 20 ? iend - 18 : src;
+    uint8_t* const oend_fast = (oend - dst) >= 40 ? oend - 36 : dst;
+
     for (;;) {
         if (ip >= iend) return -1;
         uint32_t token = *ip++;
-        // --- literals ---
         uint32_t lit_len = token >> 4;
+        uint32_t mlen = token & 15;
+
+        // --- fast path -------------------------------------------------
+        if (lit_len <= 14 && ip < iend_fast && op < oend_fast) {
+            std::memcpy(op, ip, 16);  // wild: margins guarantee the slack
+            op += lit_len;
+            ip += lit_len;
+            if (ip == iend) break;    // literals-only final sequence
+            uint32_t offset = read16(ip);
+            ip += 2;
+            if (mlen <= 14 && offset >= 18 &&
+                offset <= (size_t)(op - dst)) {
+                std::memcpy(op, op - offset, 8);
+                std::memcpy(op + 8, op - offset + 8, 8);
+                std::memcpy(op + 16, op - offset + 16, 2);
+                op += mlen + MINMATCH;
+                continue;
+            }
+            ip -= 2;  // re-parse the match on the careful path
+            goto careful_match;
+        }
+
+        // --- careful path: literals ------------------------------------
         if (lit_len == 15) {
             uint8_t b;
             do {
@@ -772,79 +875,135 @@ LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
         }
         if ((size_t)(iend - ip) < lit_len) return -1;
         if ((size_t)(oend - op) < lit_len) return -1;
-        std::memcpy(op, ip, lit_len);
+        if ((size_t)(oend - op) >= lit_len + 32 &&
+            (size_t)(iend - ip) >= lit_len + 16) {
+            // wild 8-byte strides when slack allows
+            uint8_t* o = op;
+            const uint8_t* s = ip;
+            size_t left = lit_len;
+            while (left > 0) {
+                std::memcpy(o, s, 8);
+                o += 8;
+                s += 8;
+                left = left > 8 ? left - 8 : 0;
+            }
+        } else {
+            std::memcpy(op, ip, lit_len);
+        }
         ip += lit_len;
         op += lit_len;
         if (ip == iend) break;  // last sequence: literals only
-        // --- match ---
-        if (iend - ip < 2) return -1;
-        uint32_t offset = read16(ip);
-        ip += 2;
-        if (offset == 0) return -1;
-        uint32_t mlen = token & 15;
-        if (mlen == 15) {
-            uint8_t b;
-            do {
-                if (ip >= iend) return -1;
-                b = *ip++;
-                mlen += b;
-                if (mlen > (uint32_t)0x7FFFFFFF) return -1;
-            } while (b == 255);
-        }
-        mlen += MINMATCH;
-        if ((size_t)(oend - op) < mlen) return -1;
 
-        size_t out_so_far = (size_t)(op - dst);
-        if (offset > out_so_far) {
-            // reaches into the external dictionary
-            size_t into_dict = offset - out_so_far;
-            if (dict == nullptr || into_dict > (size_t)dict_size) return -1;
-            const uint8_t* dp = dict + dict_size - into_dict;
-            size_t n1 = mlen < into_dict ? mlen : into_dict;
-            std::memcpy(op, dp, n1);
-            op += n1;
-            mlen -= (uint32_t)n1;
-            if (mlen) {
-                // continues at start of the output buffer (overlap-safe)
-                const uint8_t* mp = dst;
-                while (mlen--) *op++ = *mp++;
-            }
-        } else {
-            const uint8_t* mp = op - offset;
-            if (offset >= 8 && (size_t)(oend - op) >= (size_t)mlen + 8) {
-                // overlap-safe wild copy, 8 bytes per step (offset >= 8
-                // guarantees the source stays behind the write cursor)
-                uint8_t* o = op;
-                const uint8_t* s = mp;
-                int left = (int)mlen;
+    careful_match:
+        if (iend - ip < 2) return -1;
+        {
+            uint32_t offset = read16(ip);
+            ip += 2;
+            if (offset == 0) return -1;
+            mlen = token & 15;
+            if (mlen == 15) {
+                uint8_t b;
                 do {
-                    std::memcpy(o, s, 8);
-                    o += 8;
-                    s += 8;
-                    left -= 8;
-                } while (left > 0);
-                op += mlen;
-            } else if (offset >= mlen) {
-                std::memcpy(op, mp, mlen);
-                op += mlen;
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    mlen += b;
+                    if (mlen > (uint32_t)0x7FFFFFFF) return -1;
+                } while (b == 255);
+            }
+            mlen += MINMATCH;
+            if ((size_t)(oend - op) < mlen) return -1;
+
+            size_t out_so_far = (size_t)(op - dst);
+            if (offset > out_so_far) {
+                // reaches into the external dictionary
+                size_t into_dict = offset - out_so_far;
+                if (dict == nullptr || into_dict > (size_t)dict_size)
+                    return -1;
+                const uint8_t* dp = dict + dict_size - into_dict;
+                size_t n1 = mlen < into_dict ? mlen : into_dict;
+                std::memcpy(op, dp, n1);
+                op += n1;
+                mlen -= (uint32_t)n1;
+                if (mlen) {
+                    // continues at start of the output buffer (overlap-safe)
+                    const uint8_t* mp = dst;
+                    while (mlen--) *op++ = *mp++;
+                }
+            } else if (offset >= 8) {
+                const uint8_t* mp = op - offset;
+                if ((size_t)(oend - op) >= (size_t)mlen + 8) {
+                    // overlap-safe wild copy (offset >= 8 keeps the source
+                    // behind the write cursor at 8-byte strides)
+                    uint8_t* o = op;
+                    const uint8_t* s = mp;
+                    int left = (int)mlen;
+                    do {
+                        std::memcpy(o, s, 8);
+                        o += 8;
+                        s += 8;
+                        left -= 8;
+                    } while (left > 0);
+                    op += mlen;
+                } else {
+                    std::memcpy(op, mp, mlen > offset ? offset : mlen);
+                    if (mlen > offset) {
+                        uint8_t* o = op + offset;
+                        const uint8_t* s = op;
+                        uint32_t left = mlen - offset;
+                        while (left--) *o++ = *s++;
+                    }
+                    op += mlen;
+                }
             } else {
-                while (mlen--) *op++ = *mp++;  // overlapping copy
+                // short offset (1-7): the output repeats with period
+                // `offset` — seed one period byte-wise, then double the
+                // copied span (each memcpy's source stays fully written)
+                const uint8_t* start = op - offset;
+                if ((size_t)(oend - op) >= (size_t)mlen + 8) {
+                    for (uint32_t k = 0; k < offset; ++k) op[k] = start[k];
+                    size_t done = offset >= mlen ? mlen : offset;
+                    while (done < mlen) {
+                        size_t n = done + offset;  // span available behind
+                        if (n > mlen - done) n = mlen - done;
+                        std::memcpy(op + done, start, n);
+                        done += n;
+                    }
+                    op += mlen;
+                } else {
+                    const uint8_t* mp = start;
+                    while (mlen--) *op++ = *mp++;  // overlapping copy
+                }
             }
         }
     }
-    return (int)(op - dst);
+    return (int)(op - dst - prefix);
+}
+
+// Safe decompress with optional detached dictionary. Returns decompressed
+// size, or -1 on corrupt input / overflow.
+LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
+                             int dst_cap, const uint8_t* dict, int dict_size) {
+    return decompress_core(src, src_size, dst, 0, dst_cap, dict, dict_size);
 }
 
 // ---------------------------------------------------------------------------
 // Reusable dictionary context (reference analog: LZ4_attach_dictionary /
-// DictCtx, clz4/clz4.go:96-149): the window's hash table is built once and
-// memcpy'd per block, amortizing dict loading across many small records.
+// DictCtx, clz4/clz4.go:96-149): the window's match state is built once and
+// shared across records — the greedy path reads it through an epoch-tagged
+// overlay (zero per-record copy), the HC path memcpys the prebuilt chains
+// (vs re-inserting 64K window positions per record). Not thread-safe; use
+// one context per thread (same contract as the reference's DictCtx).
 // ---------------------------------------------------------------------------
 
 struct Lz4rDictCtx {
     std::vector<uint8_t> scratch;   // [window | src workspace]
     size_t window_size;
-    std::vector<uint32_t> tab;      // prebuilt greedy table over the window
+    std::vector<uint32_t> tab;      // prebuilt greedy table (hash4) over dict
+    ChainFinder hc;                 // prebuilt HC chains over dict (lazy)
+    bool hc_built = false;
+    std::vector<uint32_t> ov_pos;   // greedy overlay (epoch-tagged)
+    std::vector<uint16_t> ov_ep;
+    uint16_t epoch = 0;
 };
 
 LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
@@ -860,31 +1019,248 @@ LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
     for (size_t i = 0; i + 4 <= c->window_size; ++i) {
         c->tab[hash4(read32(c->scratch.data() + i), 16)] = (uint32_t)i;
     }
+    c->ov_pos.assign((size_t)1 << 16, 0);
+    c->ov_ep.assign((size_t)1 << 16, 0);
     return c;
 }
 
 LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
                                 int src_size, uint8_t* dst, int dst_cap,
                                 int level) {
-    if (level > 1 || src_size >= 65536) {
-        // HC levels keep the straightforward per-call window path; so do
-        // >=64 KiB blocks, whose greedy path hashes 5 bytes (the prebuilt
-        // table is 4-byte-hashed and the rebuild cost amortizes anyway)
+    if (src_size >= 65536 || level >= 10) {
+        // >=64 KiB blocks hash 5 bytes (the prebuilt table is 4-byte-
+        // hashed) and the rebuild cost amortizes; the optimal parser has
+        // no streaming state to share
         return lz4r_compress(src, src_size, dst, dst_cap, level,
                              c->scratch.data(), (int)c->window_size);
     }
+    if (!c->hc_built && level > 1) {
+        c->hc.reset();
+        c->hc.attach(c->scratch.data());
+        c->hc.insert_upto(c->scratch.data() + c->window_size);
+        c->hc_built = true;
+    }
     c->scratch.resize(c->window_size + (size_t)src_size);
     std::memcpy(c->scratch.data() + c->window_size, src, src_size);
-    // working copy of the prebuilt table (memcpy beats re-hashing 64K
-    // positions ~15x)
-    static thread_local std::vector<uint32_t> work;
-    work.assign(c->tab.begin(), c->tab.end());
     const uint8_t* wbase = c->scratch.data();
-    return compress_greedy_tab(wbase, wbase + c->window_size, src_size, dst,
-                               dst_cap, 1, work.data(), true);
+    if (level > 1) {
+        // working finder = prebuilt chains rebased to the current scratch
+        // address (vector copies stay memcpy-fast: capacity is retained)
+        static thread_local ChainFinder work;
+        work.head = c->hc.head;
+        work.chain = c->hc.chain;
+        work.next_insert = c->hc.next_insert;
+        work.floor_pos = 0;
+        work.wbase = work.low_base = wbase;
+        return compress_hc(wbase, wbase + c->window_size, src_size, dst,
+                           dst_cap, level, &work);
+    }
+    if (++c->epoch == 0) {  // epoch wrap: invalidate all overlay slots
+        std::fill(c->ov_ep.begin(), c->ov_ep.end(), (uint16_t)0);
+        c->epoch = 1;
+    }
+    OverlayTab tab{c->tab.data(), c->ov_pos.data(), c->ov_ep.data(),
+                   c->epoch};
+    return compress_greedy_t(wbase, wbase + c->window_size, src_size, dst,
+                             dst_cap, 1, tab, true, 0);
 }
 
 LZ4R_API void lz4r_dict_free(Lz4rDictCtx* c) { delete c; }
+
+// ---------------------------------------------------------------------------
+// Streaming compression context (reference analog: LZ4_loadDict +
+// LZ4_compress_fast_continue / LZ4_compress_HC_continue via
+// clz4/clz4.go:211-286 and compress/linked.go:309-331). Unlike the
+// reference's per-block loadDict, this carries match state ACROSS blocks:
+// appended blocks extend the table/chain history, so a linked chain pays
+// zero per-block window loading. History lives in one growing buffer that
+// slides (keeping the trailing 64 KiB window) when it exceeds its capacity;
+// tables rebuild only on a slide — amortized to noise.
+// ---------------------------------------------------------------------------
+
+struct Lz4rStream {
+    int level;
+    std::vector<uint8_t> buf;    // [history | appended blocks]
+    size_t len = 0;              // valid bytes
+    // greedy state
+    std::vector<uint32_t> tab;
+    int h5_mode = -1;            // fixed at first block for consistency
+    size_t tab_done = 0;         // positions [0, tab_done) are in the table
+    // HC state
+    ChainFinder cf;
+    bool cf_attached = false;
+};
+
+namespace {
+
+void stream_rebuild(Lz4rStream* s) {
+    // (re)index the current history [0, len) from scratch
+    if (s->level > 1) {
+        s->cf.reset();
+        s->cf.attach(s->buf.data());
+        s->cf.insert_upto(s->buf.data() + s->len);
+        s->cf_attached = true;
+    } else {
+        std::fill(s->tab.begin(), s->tab.end(), 0);
+        const bool h5 = s->h5_mode == 1;
+        const uint8_t* b = s->buf.data();
+        size_t n = s->len >= 8 ? s->len - 8 : 0;  // hash5 reads 8 bytes
+        for (size_t i = 0; i < n; ++i) {
+            uint32_t h = h5 ? hash5(b + i, 16) : hash4(read32(b + i), 16);
+            s->tab[h] = (uint32_t)i;
+        }
+        s->tab_done = s->len;
+    }
+}
+
+void stream_reserve(Lz4rStream* s, int src_size) {
+    size_t need = s->len + (size_t)src_size;
+    if (need <= s->buf.size()) return;
+    size_t window = s->len > 65536 ? 65536 : s->len;
+    size_t cap = 65536 + (size_t)src_size * 8;
+    if (cap < (1u << 20)) cap = 1u << 20;
+    if (cap < window + (size_t)src_size) cap = window + (size_t)src_size;
+    if (window < s->len) {
+        // slide: keep the trailing window, drop older history
+        std::memmove(s->buf.data(), s->buf.data() + s->len - window, window);
+        s->len = window;
+    }
+    if (s->buf.size() < cap) s->buf.resize(cap);
+    stream_rebuild(s);
+}
+
+}  // namespace
+
+LZ4R_API Lz4rStream* lz4r_stream_create(int level) {
+    auto* s = new Lz4rStream();
+    s->level = level;
+    if (level <= 1) s->tab.assign((size_t)1 << 16, 0);
+    return s;
+}
+
+LZ4R_API void lz4r_stream_load_dict(Lz4rStream* s, const uint8_t* dict,
+                                    int dict_size) {
+    if (dict_size > 65536) {
+        dict += dict_size - 65536;
+        dict_size = 65536;
+    }
+    if (dict_size < 0) dict_size = 0;
+    if (s->buf.size() < (size_t)dict_size) s->buf.resize(1u << 20);
+    std::memcpy(s->buf.data(), dict, dict_size);
+    s->len = (size_t)dict_size;
+    // table build is deferred: h5_mode is unknown until the first block
+}
+
+// Compress the next block of the chain. Returns compressed size, 0 when the
+// output doesn't fit in dst_cap (incompressible signal — the caller stores
+// the block raw; state stays consistent either way), -1 on bad args.
+LZ4R_API int lz4r_stream_compress(Lz4rStream* s, const uint8_t* src,
+                                  int src_size, uint8_t* dst, int dst_cap) {
+    if (src_size < 0) return -1;
+    if (s->level <= 1 && s->h5_mode < 0) {
+        s->h5_mode = src_size >= 65536 ? 1 : 0;
+        if (s->len) stream_rebuild(s);  // index the pre-loaded dict
+    }
+    stream_reserve(s, src_size);
+    uint8_t* base = s->buf.data();
+    uint8_t* at = base + s->len;
+    std::memcpy(at, src, src_size);
+    s->len += (size_t)src_size;
+    int r;
+    if (s->level >= 10) {
+        // the optimal parser is stateless per block: window = the trailing
+        // 64 KiB of history (it rebuilds its finder per block anyway)
+        size_t w = (size_t)(at - base) > 65536 ? 65536 : (size_t)(at - base);
+        r = compress_opt(at - w, at, src_size, dst, dst_cap, s->level);
+    } else if (s->level > 1) {
+        if (!s->cf_attached) {
+            s->cf.reset();
+            s->cf.attach(base);
+            s->cf.insert_upto(at);
+            s->cf_attached = true;
+        }
+        r = compress_hc(base, at, src_size, dst, dst_cap, s->level, &s->cf);
+        // keep the chain index synced through the block's tail for the
+        // next call (compress never inserts the last few positions)
+        if (s->len >= 8) s->cf.insert_upto(base + s->len - 8);
+    } else {
+        FlatTab tab{s->tab.data()};
+        r = compress_greedy_t(base, at, src_size, dst, dst_cap, 1, tab,
+                              /*preloaded=*/true, s->h5_mode);
+        s->tab_done = s->len;
+    }
+    return r;
+}
+
+LZ4R_API void lz4r_stream_free(Lz4rStream* s) { delete s; }
+
+// ---------------------------------------------------------------------------
+// Streaming decompression context: decoded history stays in one contiguous
+// C-side buffer, so linked-block decode pays no per-block window copies
+// (reference analog: the rolling DictT update, compress/decompress.go:
+// 127-143 + dict.go:171-184 — but without re-materializing the window).
+// ---------------------------------------------------------------------------
+
+struct Lz4rDStream {
+    std::vector<uint8_t> buf;
+    size_t len = 0;
+};
+
+LZ4R_API Lz4rDStream* lz4r_dstream_create(void) { return new Lz4rDStream(); }
+
+LZ4R_API void lz4r_dstream_load_dict(Lz4rDStream* s, const uint8_t* dict,
+                                     int dict_size) {
+    if (dict_size > 65536) {
+        dict += dict_size - 65536;
+        dict_size = 65536;
+    }
+    if (dict_size < 0) dict_size = 0;
+    if (s->buf.size() < (size_t)dict_size) s->buf.resize(1u << 20);
+    std::memcpy(s->buf.data(), dict, dict_size);
+    s->len = (size_t)dict_size;
+}
+
+namespace {
+void dstream_reserve(Lz4rDStream* s, int out_cap) {
+    size_t need = s->len + (size_t)out_cap;
+    if (need <= s->buf.size()) return;
+    size_t window = s->len > 65536 ? 65536 : s->len;
+    if (window < s->len) {
+        std::memmove(s->buf.data(), s->buf.data() + s->len - window, window);
+        s->len = window;
+    }
+    size_t cap = 65536 + (size_t)out_cap * 8;
+    if (cap < (1u << 20)) cap = 1u << 20;
+    if (cap < s->len + (size_t)out_cap) cap = s->len + (size_t)out_cap;
+    if (s->buf.size() < cap) s->buf.resize(cap);
+}
+}  // namespace
+
+// Decompress the next chained block (window = decoded history). On success
+// returns the decoded size and points *out at the decoded bytes (valid
+// until the next call). Returns -1 on corrupt input.
+LZ4R_API int lz4r_dstream_decompress(Lz4rDStream* s, const uint8_t* src,
+                                     int src_size, int out_cap,
+                                     const uint8_t** out) {
+    dstream_reserve(s, out_cap);
+    int n = decompress_core(src, src_size, s->buf.data(), s->len, out_cap,
+                            nullptr, 0);
+    if (n < 0) return -1;
+    *out = s->buf.data() + s->len;
+    s->len += (size_t)n;
+    return n;
+}
+
+// Append already-plain bytes to the history (uncompressed blocks in a
+// linked frame still extend the window).
+LZ4R_API void lz4r_dstream_append(Lz4rDStream* s, const uint8_t* data,
+                                  int size) {
+    dstream_reserve(s, size);
+    std::memcpy(s->buf.data() + s->len, data, size);
+    s->len += (size_t)size;
+}
+
+LZ4R_API void lz4r_dstream_free(Lz4rDStream* s) { delete s; }
 
 // ---------------------------------------------------------------------------
 // xxHash-32

@@ -183,3 +183,90 @@ def test_dict_context_speedup():
     t_ctx = timed(lambda: [ctx.compress_block(r) for r in recs])
     # amortized table must win clearly (wide margin vs timing noise)
     assert t_ctx < t_plain * 0.8, (t_ctx, t_plain)
+
+
+# --- streaming contexts (round 2) ------------------------------------------
+
+
+def test_stream_compressor_chain_roundtrip():
+    """Chained blocks through the stateful stream context decode with the
+    rolling-window semantics of a linked frame, at every level class."""
+    blocks = [make_compressible(12000, seed=300 + i) for i in range(6)]
+    for level in (1, 6, 9, 12):
+        sc = native.StreamCompressor(level)
+        window = b""
+        for raw in blocks:
+            comp = sc.compress(raw)
+            out = native.decompress(comp, len(raw),
+                                    dict_=window if window else None)
+            assert out == raw, f"level {level}"
+            window = (window + raw)[-65536:]
+
+
+def test_stream_compressor_initial_dict():
+    d = make_compressible(30000, seed=310)
+    data = make_compressible(20000, seed=311)
+    for level in (1, 6):
+        sc = native.StreamCompressor(level, dict_=d)
+        comp = sc.compress(data)
+        assert native.decompress(comp, len(data), dict_=d) == data
+
+
+def test_stream_decompressor_chain():
+    blocks = [make_compressible(12000, seed=320 + i) for i in range(6)]
+    sc = native.StreamCompressor(6)
+    sd = native.StreamDecompressor()
+    for raw in blocks:
+        comp = sc.compress(raw)
+        assert sd.decompress(comp, len(raw)) == raw
+
+
+def test_stream_decompressor_raw_blocks_extend_window():
+    """Uncompressed blocks in a chain still extend the decode window."""
+    a = make_compressible(9000, seed=330)
+    b = make_incompressible(5000, seed=331)  # stored raw
+    c = a[:4000] + b[:2000]                  # matches into both
+    sc = native.StreamCompressor(1)
+    sd = native.StreamDecompressor()
+    ca = sc.compress(a)
+    assert sd.decompress(ca, len(a)) == a
+    cb = sc.compress(b, len(b) - 1)          # likely incompressible
+    if cb is None:
+        sd.append_raw(b)
+    else:
+        assert sd.decompress(cb, len(b)) == b
+    cc = sc.compress(c)
+    assert sd.decompress(cc, len(c)) == c
+
+
+def test_stream_slide_preserves_window():
+    """Chains longer than the stream buffer slide without corrupting the
+    rolling 64 KiB window."""
+    blocks = [make_compressible(150000, seed=340 + i) for i in range(12)]
+    sc = native.StreamCompressor(1)
+    sd = native.StreamDecompressor()
+    window = b""
+    for raw in blocks:
+        comp = sc.compress(raw)
+        assert sd.decompress(comp, len(raw)) == raw
+        # cross-check against the stateless dict decoder
+        assert native.decompress(comp, len(raw),
+                                 dict_=window if window else None) == raw
+        window = (window + raw)[-65536:]
+
+
+def test_sync_linked_writer_uses_stream_path():
+    """parallel=0 linked frames (stream-context path) must interoperate
+    with the threaded reader and vice versa."""
+    import io
+
+    import plz4_tpu as plz4
+
+    data = make_compressible(300000, seed=350)
+    out = io.BytesIO()
+    w = plz4.Writer(out, parallel=0, block_linked=True, level=6,
+                    block_size_idx=4)
+    w.write(data)
+    w.close()
+    assert plz4.decompress(out.getvalue(), parallel=-1) == data
+    assert plz4.decompress(out.getvalue(), parallel=0) == data

@@ -17,7 +17,7 @@ from conftest import make_compressible
 # shrank 15-27% vs round 1, L3-L9 trade 1-4% vs round 1's pins for the
 # per-level upstream dominance.
 PINNED = [433375, 277188, 263067, 250105, 239111, 233586, 230888, 227882,
-          223760, 206671, 204152, 204152]
+          227882, 206671, 204152, 204152]
 
 
 def test_ratio_ladder_no_regression():
