@@ -239,8 +239,12 @@ class FrameReader:
         if h.content_size is not None and self._parallel > 0:
             blocks = h.content_size // h.block_size + 1
             self._frame_parallel = max(1, min(self._parallel, blocks))
+        # the device path verifies block checksums in one batched on-chip
+        # hash per batch (ops/xxh32_jax) instead of per-block host hashing
+        defer = (self._use_device and h.block_checksum
+                 and h.block_independent and self._frame_parallel != 0)
         self._blk_rdr = block_io.FrameBlockReader(
-            self._src, h, hash_fn=native.xxh32)
+            self._src, h, hash_fn=native.xxh32, defer_checksum=defer)
         return True
 
     def _seek_to(self, off: int) -> None:
@@ -369,7 +373,9 @@ class FrameReader:
         from ..parallel import batch as dev_batch
         outs = dev_batch.decode_blocks(
             [(b.data, b.uncompressed) for b in batch], h.block_size,
-            dict_=self._frame_dict)
+            dict_=self._frame_dict,
+            checksums=[b.checksum for b in batch]
+            if h.block_checksum else None)
         self._device_queue.extend(outs)
         return self._device_queue.popleft()
 

@@ -401,11 +401,18 @@ class FrameWriter:
         self._device_stage = []
         blocks = [s for s, _ in staged]
         dicts = [d for _, d in staged]
+        bx = self._o.block_checksum
         results = dev_batch.encode_blocks(
             blocks, self._o.block_size, level=self._o.level,
-            dicts=dicts if any(d for d in dicts) else None)
-        for src, (stored, raw) in zip(blocks, results):
-            self._emit(stored, raw, len(src))
+            dicts=dicts if any(d for d in dicts) else None,
+            with_checksums=bx)
+        if bx:
+            # block hashes were computed on device alongside the encode
+            for src, (stored, raw, csum) in zip(blocks, results):
+                self._emit(stored, raw, len(src), checksum=csum)
+        else:
+            for src, (stored, raw) in zip(blocks, results):
+                self._emit(stored, raw, len(src))
 
     def _drain_one(self) -> None:
         fut, src_lens = self._pending.popleft()
@@ -429,10 +436,11 @@ class FrameWriter:
             self._submit_block(bytes(self._stage))
             self._stage.clear()
 
-    def _emit(self, stored: bytes, uncompressed: bool, src_len: int) -> None:
+    def _emit(self, stored: bytes, uncompressed: bool, src_len: int,
+              checksum: int | None = None) -> None:
         wire = block_io.frame_block(
             stored, uncompressed, self._o.block_checksum,
-            hash_fn=native.xxh32)
+            hash_fn=native.xxh32, checksum=checksum)
         self._write_out(wire)
         self._src_emitted += src_len
         if self._o.progress is not None:

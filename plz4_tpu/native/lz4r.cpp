@@ -5,7 +5,7 @@
 // vendored frame spec docs) with:
 //   * greedy hash-table compressor          (levels 1, reference analog:
 //     clz4.CompressFast -> LZ4_compress_fast, lz4.c:930)
-//   * chain-match lazy compressor           (levels 2-12, reference analog:
+//   * chain-match 3-probe compressor        (levels 2-8, reference analog:
 //     clz4.CompressHC -> LZ4HC_compress_generic, lz4hc.c:1374)
 //   * safe decompressor with external-dict support (reference analog:
 //     clz4.DecompressSafe[WithDict], lz4.c:2016)
@@ -294,7 +294,7 @@ int compress_greedy(const uint8_t* wbase, const uint8_t* src, int src_size,
 }
 
 // ---------------------------------------------------------------------------
-// HC: hash-chain match finder with lazy matching (levels 2-12).
+// HC: hash-chain match finder with 3-match arbitration (levels 2-8).
 // ---------------------------------------------------------------------------
 struct ChainFinder {
     // Positions are monotonically increasing across attach() calls so the
@@ -372,30 +372,53 @@ struct ChainFinder {
     // Longest match for position ip; returns length (0 if < MINMATCH) and
     // sets *mpos. Prefers longer; on ties the later candidate in chain order
     // (nearer offset) is kept only if strictly longer.
+    // seed_len/seed_off preload a known match (the carried tail of a match
+    // found at an earlier position): the boundary filter then rejects all
+    // non-improving candidates in ~2 loads, making a full re-search at
+    // carried positions cheap while still discovering longer fresh matches.
     int find(const uint8_t* ip, const uint8_t* matchlimit, int nb_attempts,
-             const uint8_t** mpos) {
+             const uint8_t** mpos, int sufficient = SUFFICIENT_LEN,
+             int seed_len = 0, int seed_off = 0) {
         insert_upto(ip);
         uint32_t pos = (uint32_t)(ip - wbase);
         uint32_t h = hash4(read32(ip), hashlog);
         uint32_t cand = head[h];
         int best = 0;
+        if (seed_len >= MINMATCH) {
+            best = seed_len;
+            *mpos = ip - seed_off;
+        }
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
         if (lowest < floor_pos) lowest = floor_pos;
         uint32_t first4 = read32(ip);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
             const uint8_t* mp = wbase + (cand - 1);
-            // reject with the 4 bytes straddling the best-so-far boundary:
-            // a longer match must agree there (then verify the head too)
-            bool plausible =
-                best >= 4 ? read32(mp + best - 3) == read32(ip + best - 3)
-                          : (mp[best] == ip[best] && read32(mp) == first4);
-            if (plausible) {
+            if (best >= MINMATCH) {
+                // extension-first evaluation: count from the best-so-far
+                // boundary — candidates that merely TIE stop in O(1), and
+                // the O(best) head verification runs only on candidates
+                // that actually extend past the boundary
+                if (ip + best < matchlimit &&
+                    read32(mp + best - 3) == read32(ip + best - 3)) {
+                    int c1 = count_match(ip + best - 3, mp + best - 3,
+                                         matchlimit);
+                    if (c1 >= 4) {
+                        int head = count_match(ip, mp, ip + best - 3);
+                        if (head == best - 3) {
+                            best = best - 3 + c1;
+                            *mpos = mp;
+                            if (ip + best >= matchlimit) break;
+                            if (best >= sufficient) break;
+                        }
+                    }
+                }
+            } else if (mp[best] == ip[best] && read32(mp) == first4) {
                 int len = count_match(ip, mp, matchlimit);
                 if (len > best) {
                     best = len;
                     *mpos = mp;
                     if (ip + best >= matchlimit) break;  // cannot improve
-                    if (best >= SUFFICIENT_LEN) break;   // good enough
+                    if (best >= sufficient) break;       // good enough
                 }
             }
             cand = chain[(cand - 1) & 0xFFFF];
@@ -470,22 +493,59 @@ int hc_attempts_for_level(int level) {
         case 8: return 256;
         case 9: return 256;
         case 10: return 512;   // opt parser: attempts per position
-        case 11: return 1024;
-        default: return 4096;  // 12+
+        case 11: return 65536;
+        default: return 65536;  // 12+
     }
 }
 
 // ---------------------------------------------------------------------------
-// Optimal parse (levels 10-12): backward dynamic program over positions with
-// approximate sequence pricing (1 byte per literal; 3 bytes + length
-// extensions per match), choice set = every candidate match length up to 32
-// plus the maximal length. Reference analog: LZ4HC_compress_optimal
-// (lz4hc.c:1823) with its price table.
+// Optimal parse (levels 9-12): backward dynamic program over SEQUENCE
+// starts with exact wire pricing — token, literal-length extension bytes,
+// offset, match-length extension bytes — so literal-run/extension interplay
+// is part of the objective (reference analog: LZ4HC_compress_optimal,
+// lz4hc.c:1823, whose price table also models both length fields).
+//
+// Formulation: g[j] = cheapest match-part cost starting at j
+//                   = min over l in [4..mlen[j]] of 2 + mlext(l) + dp[j+l];
+//             dp[i] = cost of the suffix given a sequence starts at i
+//                   = min( final-literal run, min over run length r of
+//                          1 + llext(r) + r + g[i+r] ).
+// The llext step function is constant on ranges of r ([0,14]=0, [15,269]=1,
+// [270,524]=2, approximated as 3 beyond), so the minimisation over r
+// reduces to sliding-window minima of (g[j] + j) per range — O(n) total.
 // ---------------------------------------------------------------------------
-inline int match_price(int l) {  // token share (1) + offset (2) + extensions
+inline int mlext_price(int l) {  // match-length extension bytes
     int v = l - MINMATCH;
-    return 3 + (v >= 15 ? 1 + (v - 15) / 255 : 0);
+    return v >= 15 ? 1 + (v - 15) / 255 : 0;
 }
+
+inline int llext_price(int r) {  // literal-length extension bytes
+    return r >= 15 ? 1 + (r - 15) / 255 : 0;
+}
+
+// Monotone deque for a backward-sliding window minimum of (g[j] + j).
+struct WinMin {
+    std::vector<int64_t> val;
+    std::vector<int32_t> pos;
+    int head = 0, tail = 0;  // [head, tail)
+
+    void reserve(size_t n) { val.resize(n); pos.resize(n); }
+
+    void push(int32_t j, int64_t v) {  // j strictly decreasing
+        while (tail > head && val[tail - 1] >= v) --tail;
+        val[tail] = v;
+        pos[tail] = j;
+        ++tail;
+    }
+
+    void drop_above(int32_t jmax) {  // expire entries with j > jmax
+        while (tail > head && pos[head] > jmax) ++head;
+    }
+
+    bool empty() const { return head == tail; }
+    int64_t min() const { return val[head]; }
+    int32_t argmin() const { return pos[head]; }
+};
 
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
@@ -493,9 +553,10 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
     const uint8_t* const iend = src + src_size;
-    const uint8_t* const mflimit = iend - MFLIMIT;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = hc_attempts_for_level(level);
+    const int sufficient = level >= 12 ? 0x7FFFFFFF
+                          : level >= 11 ? 768 : ChainFinder::SUFFICIENT_LEN;
 
     if (src_size == 0) {
         if (dst_cap < 1) return 0;
@@ -507,9 +568,11 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         return op ? (int)(op - dst) : 0;
     }
 
+    const int n = src_size;
+
     // --- pass 1: longest match per position --------------------------------
-    std::vector<int32_t> mlen(src_size, 0);
-    std::vector<int32_t> moff(src_size, 0);
+    std::vector<int32_t> mlen(n, 0);
+    std::vector<int32_t> moff(n, 0);
     {
         ChainFinder cf(wbase, (size_t)(iend - wbase));
         if (src > wbase) cf.insert_upto(src);
@@ -518,17 +581,26 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         // scan near-linear on RLE/periodic data. (A denser skip was tried
         // and cost 11% ratio: the DP needs fresh matches at most positions.)
         int carry_len = 0, carry_off = 0;
-        for (int i = 0; i + MFLIMIT <= src_size; ++i) {
+        for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
-            if (carry_len > 64) {
-                cf.insert_upto(ip + 1);  // keep chains complete
+            if (carry_len > 64 && carry_off <= 8) {
+                // RLE-ish region (period <= 8): nothing longer can start
+                // mid-run, and a full search would count the whole run per
+                // candidate — keep the pure inheritance skip
+                cf.insert_upto(ip + 1);
                 mlen[i] = carry_len;
                 moff[i] = carry_off;
                 --carry_len;
                 continue;
             }
             const uint8_t* match = nullptr;
-            int l = cf.find(ip, matchlimit, attempts, &match);
+            // carried tail seeds the search: the boundary filter rejects
+            // non-improving candidates in ~2 loads, so re-searching inside
+            // long matches is cheap yet still finds longer fresh matches
+            // (a pure skip missed matches worth ~0.2% on mixed corpora)
+            int l = cf.find(ip, matchlimit, attempts, &match, sufficient,
+                            carry_len >= MINMATCH ? carry_len : 0,
+                            carry_off);
             if (l >= MINMATCH) {
                 mlen[i] = l;
                 moff[i] = (int32_t)(ip - match);
@@ -540,44 +612,116 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         }
     }
 
-    // --- pass 2: backward DP ----------------------------------------------
-    // dp[i] = approx cost of encoding suffix [i, n); lit steps cost 1,
-    // match of length l costs match_price(l) + dp[i+l].
-    std::vector<int32_t> dp(src_size + 1, 0);
-    std::vector<int32_t> choice(src_size + 1, 0);  // 0 = literal, >0 = length
-    for (int i = src_size - 1; i >= 0; --i) {
-        int best = dp[i + 1] + 1;
-        int best_l = 0;
+    // --- pass 2: backward DP over sequence starts --------------------------
+    constexpr int64_t INF = int64_t(1) << 50;
+    std::vector<int64_t> dp(n + 1, INF);
+    std::vector<int32_t> g_len(n, 0);       // best match length at j
+    std::vector<int64_t> g(n, INF);         // match-part cost at j
+    std::vector<int32_t> run_of(n, -1);     // chosen literal-run length
+    std::vector<int32_t> len_of(n, 0);      // chosen match length (0 = final)
+    WinMin w0, w1, w2;                      // r in [0,14], [15,269], [270,524]
+    w0.reserve(n + 1);
+    w1.reserve(n + 1);
+    w2.reserve(n + 1);
+    std::vector<int64_t> sufmin(n + 2, INF);  // min (g[j]+j) for j >= i
+    std::vector<int32_t> sufarg(n + 2, -1);   // argmin for sufmin
+    dp[n] = INF;  // a sequence cannot start at n (handled by final run)
+
+    for (int i = n - 1; i >= 0; --i) {
+        // match-part cost g[i]: short lengths exhaustively, the maximal
+        // length, and the lengths just below each extension-byte bump
         int ml = mlen[i];
         if (ml >= MINMATCH) {
-            int short_cap = ml < 32 ? ml : 32;
-            for (int l = MINMATCH; l <= short_cap; ++l) {
-                int c = match_price(l) + dp[i + l];
+            int64_t best = INF;
+            int best_l = 0;
+            int cap = ml < 36 ? ml : 36;
+            for (int l = MINMATCH; l <= cap; ++l) {
+                if (dp[i + l] >= INF) continue;
+                int64_t c = 2 + mlext_price(l) + dp[i + l];
                 if (c < best) { best = c; best_l = l; }
             }
-            if (ml > 32) {
-                int c = match_price(ml) + dp[i + ml];
-                if (c < best) { best = c; best_l = ml; }
+            if (ml > 36) {
+                static const int probes[] = {273, 528, 0};
+                for (int k = 0; probes[k]; ++k) {
+                    int l = probes[k];
+                    if (l <= 36 || l > ml) continue;
+                    if (dp[i + l] >= INF) continue;
+                    int64_t c = 2 + mlext_price(l) + dp[i + l];
+                    if (c < best) { best = c; best_l = l; }
+                }
+                for (int l = ml > 38 ? ml - 2 : 37; l <= ml; ++l) {
+                    if (dp[i + l] >= INF) continue;
+                    int64_t c = 2 + mlext_price(l) + dp[i + l];
+                    if (c < best) { best = c; best_l = l; }
+                }
             }
+            g[i] = best;
+            g_len[i] = best_l;
         }
+        // window bookkeeping: as i decreases, a match start j's run length
+        // r = j - i grows, so j migrates bucket0 -> bucket1 -> bucket2 ->
+        // tail; push j into each bucket exactly when it enters it
+        if (g[i] < INF) w0.push(i, g[i] + i);
+        if (i + 15 < n && g[i + 15] < INF)
+            w1.push(i + 15, g[i + 15] + (i + 15));
+        if (i + 270 < n && g[i + 270] < INF)
+            w2.push(i + 270, g[i + 270] + (i + 270));
+        if (g[i] < INF) {
+            int64_t s = g[i] + i;
+            if (s < sufmin[i + 1]) {
+                sufmin[i] = s;
+                sufarg[i] = i;
+            } else {
+                sufmin[i] = sufmin[i + 1];
+                sufarg[i] = sufarg[i + 1];
+            }
+        } else {
+            sufmin[i] = sufmin[i + 1];
+            sufarg[i] = sufarg[i + 1];
+        }
+        // dp[i]: final-literal-run option, then one option per llext range
+        int fin_r = n - i;
+        int64_t best = 1 + llext_price(fin_r) + fin_r;
+        int best_r = -1;  // -1 = final literals
+        int32_t best_j = -1;
+        w0.drop_above(i + 14);
+        if (!w0.empty()) {
+            int64_t c = 1 + 0 + (w0.min() - i);
+            if (c < best) { best = c; best_j = w0.argmin(); }
+        }
+        w1.drop_above(i + 269);
+        if (!w1.empty() && w1.argmin() >= i + 15) {
+            int64_t c = 1 + 1 + (w1.min() - i);
+            if (c < best) { best = c; best_j = w1.argmin(); }
+        }
+        w2.drop_above(i + 524);
+        if (!w2.empty() && w2.argmin() >= i + 270) {
+            int64_t c = 1 + 2 + (w2.min() - i);
+            if (c < best) { best = c; best_j = w2.argmin(); }
+        }
+        if (i + 525 <= n - 1 && sufmin[i + 525] < INF) {
+            int64_t c = 1 + 3 + (sufmin[i + 525] - i);
+            if (c < best) { best = c; best_j = -2; }
+        }
+        if (best_j >= 0) best_r = (int)(best_j - i);
+        if (best_j == -2) best_r = sufarg[i + 525] - i;
         dp[i] = best;
-        choice[i] = best_l;
+        run_of[i] = best_r;
+        len_of[i] = best_r >= 0 ? g_len[i + best_r] : 0;
     }
 
     // --- pass 3: reconstruct + emit ---------------------------------------
-    const uint8_t* anchor = src;
     int i = 0;
-    while (i < src_size) {
-        int l = choice[i];
-        if (l == 0) { ++i; continue; }
-        const uint8_t* ip = src + i;
-        op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
-                           (uint32_t)moff[i], l);
+    while (i < n) {
+        int r = run_of[i];
+        if (r < 0) break;  // final literal run to the end
+        int j = i + r;
+        int l = len_of[i];
+        op = emit_sequence(op, oend, src + i, r, (uint32_t)moff[j], l);
         if (!op) return 0;
-        i += l;
-        anchor = src + i;
+        i = j + l;
     }
-    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
+    op = emit_last_literals(op, oend, src + i, n - i);
     return op ? (int)(op - dst) : 0;
 }
 
@@ -800,11 +944,11 @@ LZ4R_API int lz4r_compress(const uint8_t* src, int src_size, uint8_t* dst,
         const uint8_t* wbase = scratch.data();
         const uint8_t* s = scratch.data() + dict_size;
         if (level <= 1) return compress_greedy(wbase, s, src_size, dst, dst_cap, 1);
-        if (level >= 10) return compress_opt(wbase, s, src_size, dst, dst_cap, level);
+        if (level >= 9) return compress_opt(wbase, s, src_size, dst, dst_cap, level);
         return compress_hc(wbase, s, src_size, dst, dst_cap, level);
     }
     if (level <= 1) return compress_greedy(src, src, src_size, dst, dst_cap, 1);
-    if (level >= 10) return compress_opt(src, src, src_size, dst, dst_cap, level);
+    if (level >= 9) return compress_opt(src, src, src_size, dst, dst_cap, level);
     return compress_hc(src, src, src_size, dst, dst_cap, level);
 }
 
@@ -1027,7 +1171,7 @@ LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
 LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
                                 int src_size, uint8_t* dst, int dst_cap,
                                 int level) {
-    if (src_size >= 65536 || level >= 10) {
+    if (src_size >= 65536 || level >= 9) {
         // >=64 KiB blocks hash 5 bytes (the prebuilt table is 4-byte-
         // hashed) and the rebuild cost amortizes; the optimal parser has
         // no streaming state to share
@@ -1167,7 +1311,7 @@ LZ4R_API int lz4r_stream_compress(Lz4rStream* s, const uint8_t* src,
     std::memcpy(at, src, src_size);
     s->len += (size_t)src_size;
     int r;
-    if (s->level >= 10) {
+    if (s->level >= 9) {
         // the optimal parser is stateless per block: window = the trailing
         // 64 KiB of history (it rebuilds its finder per block anyway)
         size_t w = (size_t)(at - base) > 65536 ? 65536 : (size_t)(at - base);

@@ -60,22 +60,58 @@ def _decode_batch_dict_pallas(comp, clens, dict_buf, dlen, out_cap):
     return jax.lax.map(one, (comp, clens))
 
 
+def _multiprocess_mesh(mesh) -> bool:
+    """True when the mesh spans devices this process cannot address
+    (multi-controller JAX: every process runs this same code SPMD)."""
+    try:
+        me = jax.process_index()
+        return any(d.process_index != me for d in mesh.devices.flat)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _shard_args(mesh, *arrays):
     if mesh is None:
         return arrays
     sh = mesh_mod.batch_sharding(mesh)
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    if not _multiprocess_mesh(mesh):
+        return tuple(jax.device_put(a, sh) for a in arrays)
+    # multi-process: every controller holds the full host batch (the frame
+    # layer is replicated work); each contributes its addressable shards
+    # (reference analog: distributing the inChan fan-out across hosts,
+    # SURVEY.md §5.8)
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        out.append(jax.make_array_from_callback(
+            a.shape, sh, lambda idx, a=a: a[idx]))
+    return tuple(out)
+
+
+def _fetch(arr) -> np.ndarray:
+    """Device->host for possibly non-fully-addressable global arrays: the
+    multi-process path all-gathers so every controller can reassemble the
+    frame (host-0 reassembly analog, SURVEY.md §5.8 — gathering to every
+    host keeps the SPMD controllers in lockstep)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
-                  dicts: list[bytes | None] | None = None):
+                  dicts: list[bytes | None] | None = None,
+                  with_checksums: bool = False):
     """Encode a list of raw blocks on device.
 
     dicts, when given, supplies a per-block window (linked mode / user
     dictionary) — blocks still encode in parallel because windows were
     snapshotted before dispatch (reference: async/writer.go:412-437).
     Returns [(stored_bytes, uncompressed_flag)] in order, applying the
-    incompressible-fallback contract per block.
+    incompressible-fallback contract per block; with_checksums=True appends
+    a device-computed xxh32 of the stored bytes to each tuple (zero host
+    hashing — ops/xxh32_jax batches over the block axis).
     """
     if not blocks:
         return []
@@ -123,32 +159,63 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         else:
             out, totals, compressible = encode_jax.encode_batch(
                 a, l, level=level)
-    out = np.asarray(jax.device_get(out))
-    totals = np.asarray(totals)
-    compressible = np.asarray(compressible)
+    comp_hash = raw_hash = None
+    if with_checksums:
+        from ..ops import xxh32_jax
+
+        # hash both the compressed candidates and the raw blocks on device;
+        # host assembly picks per block by the incompressible outcome
+        W = out.shape[1]
+        out16 = out if W % 16 == 0 else jnp.pad(
+            out, ((0, 0), (0, 16 - W % 16)))
+        comp_hash = _fetch(xxh32_jax.xxh32_batch(
+            out16, jnp.minimum(totals, W)))
+        raw_hash = _fetch(xxh32_jax.xxh32_batch(a, l))
+    out = _fetch(out)
+    totals = _fetch(totals)
+    compressible = _fetch(compressible)
     results = []
     for i, blk in enumerate(blocks):
         if len(blk) == 0:
-            results.append((b"", True))
+            stored, raw = b"", True
         elif bool(compressible[i]) and int(totals[i]) < len(blk):
-            results.append((out[i, : int(totals[i])].tobytes(), False))
+            stored, raw = out[i, : int(totals[i])].tobytes(), False
         else:
-            results.append((blk, True))
+            stored, raw = blk, True
+        if with_checksums:
+            if len(blk) == 0:
+                csum = 0x02cc5d05  # xxh32(b"")
+            else:
+                csum = int(raw_hash[i]) if raw else int(comp_hash[i])
+            results.append((stored, raw, csum))
+        else:
+            results.append((stored, raw))
     return results
 
 
 def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
-                  dict_: bytes | None = None) -> list[bytes]:
+                  dict_: bytes | None = None,
+                  checksums: list | None = None) -> list[bytes]:
     """Decode a list of (stored_bytes, uncompressed_flag) blocks on device.
 
     Uncompressed blocks pass through (reference: async/reader.go:149-163
-    routes them around the workers).
+    routes them around the workers). `checksums`, when given, carries the
+    frame\'s expected per-block xxh32 values: compressed blocks verify on
+    device in one batched hash (ops/xxh32_jax), raw pass-through blocks on
+    the host.
     """
     if not stored:
         return []
     comp_idx = [i for i, (_, unc) in enumerate(stored) if not unc]
     results: list[bytes | None] = [
         data if unc else None for (data, unc) in stored]
+    if checksums is not None:
+        from .. import native as _native
+
+        for i, (data, unc) in enumerate(stored):
+            if unc and checksums[i] is not None:
+                if _native.xxh32(data) != checksums[i]:
+                    raise zerr.ErrBlockHash
     if not comp_idx:
         return results  # type: ignore[return-value]
 
@@ -190,9 +257,18 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
         else:
             out, n_out, ok = decode_jax.decode_batch(a, l, out_cap=block_size)
 
-    out = np.asarray(jax.device_get(out))
-    n_out = np.asarray(n_out)
-    ok = np.asarray(ok)
+    if checksums is not None and any(
+            checksums[i] is not None for i in comp_idx):
+        from ..ops import xxh32_jax
+
+        got = _fetch(xxh32_jax.xxh32_batch(a, l))
+        for j, i in enumerate(comp_idx):
+            want = checksums[i]
+            if want is not None and int(got[j]) != want:
+                raise zerr.ErrBlockHash
+    out = _fetch(out)
+    n_out = _fetch(n_out)
+    ok = _fetch(ok)
     for j, i in enumerate(comp_idx):
         if not bool(ok[j]):
             raise zerr.ErrDecompress

@@ -80,3 +80,34 @@ def test_device_sharded_mesh():
                              block_size_idx=desc.BLOCK_IDX_64KB)
         out = plz4.decompress(comp, backend="device")
     assert out == PAYLOAD
+
+
+def test_device_block_checksums_computed_on_device(monkeypatch):
+    """With block_checksum=True the device path must generate AND verify
+    per-block hashes on device — zero host xxh32 calls per block
+    (ops/xxh32_jax wired into parallel/batch.py)."""
+    import plz4_tpu
+    from plz4_tpu import native
+
+    calls = {"n": 0}
+    real = native.xxh32
+
+    def counting(data, seed=0):
+        calls["n"] += 1
+        return real(data, seed)
+
+    monkeypatch.setattr(native, "xxh32", counting)
+    data = make_compressible(200000, seed=61)
+    comp = plz4_tpu.compress(data, backend="device", block_size_idx=4,
+                             block_checksum=True, content_checksum=False)
+    assert calls["n"] == 0, f"writer did {calls['n']} host block hashes"
+    out = plz4_tpu.decompress(comp, backend="device")
+    assert out == data
+    assert calls["n"] == 0, f"reader did {calls['n']} host block hashes"
+
+    # corrupted block payload must still trip the (device-verified) hash
+    blob = bytearray(comp)
+    blob[40] ^= 0x5A
+    with pytest.raises(zerr.Lz4Error) as ei:
+        plz4_tpu.decompress(bytes(blob), backend="device")
+    assert ei.value is zerr.ErrBlockHash

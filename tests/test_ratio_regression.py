@@ -11,13 +11,12 @@ from plz4_tpu import native
 from conftest import make_compressible
 
 # sizes recorded 2026-08-17 (native codec, levels 1..12) after the round-2
-# match-finder rewrite (wider-match scoring + 3-match arbitration + 5-byte
-# greedy hash). Every level is now <= the upstream lz4 v1.10.0 size at the
-# same level on this corpus (see test_upstream_conformance.py); L1-L2
-# shrank 15-27% vs round 1, L3-L9 trade 1-4% vs round 1's pins for the
-# per-level upstream dominance.
+# match-finder rewrites: wider-match scoring + 3-match arbitration (2-8),
+# 5-byte greedy hash (1), and the extension-aware optimal parse (9-12).
+# Every level is <= the upstream lz4 v1.10.0 size at the same level across
+# the 11-corpus conformance sweep (test_upstream_conformance.py).
 PINNED = [433375, 277188, 263067, 250105, 239111, 233586, 230888, 227882,
-          227882, 206671, 204152, 204152]
+          218537, 206571, 204152, 204152]
 
 
 def test_ratio_ladder_no_regression():

@@ -39,6 +39,8 @@ def _dict_bin() -> bytes:
 
 
 def corpus():
+    from plz4_tpu import corpus as corpus_mod
+
     c = [
         ("text64k", make_compressible(65536, seed=90)),
         ("mixed", make_compressible(30000, seed=92)
@@ -46,6 +48,9 @@ def corpus():
         ("zeros", b"\x00" * 50000),
         ("period5", (make_incompressible(5, seed=91) * 10000)[:50000]),
         ("random", make_incompressible(32768, seed=5)),
+        # realistic mixed corpora (deterministic enwik8/Silesia stand-ins)
+        ("enwik", corpus_mod.enwik_like(1 << 19)),
+        ("silesia", corpus_mod.silesia_like(1 << 19)),
     ]
     if os.path.exists(_DICT_SAMPLE):
         c.append(("dictbin", _dict_bin()[:65536]))
