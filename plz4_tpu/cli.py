@@ -186,35 +186,101 @@ def cmd_verify(args) -> int:
 
 
 def cmd_bakeoff(args) -> int:
-    """Benchmark all levels, native vs device backends (reference:
-    ops/bakeoff.go benchmarks plz4 vs pierrec/lz4)."""
+    """Benchmark all levels against an independent competitor (reference:
+    ops/bakeoff.go benchmarks plz4 vs pierrec/lz4 with --ram and -B raw
+    block-API modes). Competitors here: the native frame engine, the raw
+    block API (-B), the device backend (--device), and the reference's
+    vendored upstream lz4 when its sources are mounted."""
     src, src_path = _open_src(args.file)
     data = src.read()
     if src_path:
         src.close()
-    backends = ["native"]
-    if args.device:
-        backends.append("device")
-    from . import compress, decompress
+    from . import compress, compress_block, decompress, decompress_block
+    from .native import upstream
 
-    print(f"payload: {len(data)} bytes")
-    print(f"{'backend':8} {'level':5} {'ratio':>7} {'enc MB/s':>9} "
-          f"{'dec MB/s':>9}")
-    for backend in backends:
-        levels = range(1, 13) if backend == "native" else [1]
-        for level in levels:
-            t0 = time.perf_counter()
-            comp = compress(data, level=level, backend=backend,
-                            parallel=args.cpus,
-                            content_checksum=False)
-            t_enc = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out = decompress(comp, backend=backend, parallel=args.cpus)
-            t_dec = time.perf_counter() - t0
+    have_upstream = upstream.available()
+    if not have_upstream and not args.quiet:
+        print(f"(upstream lz4 rows unavailable: "
+              f"{upstream.unavailable_reason()})", file=sys.stderr)
+
+    def progress(label, i, n):
+        if args.quiet or not sys.stderr.isatty():
+            return
+        print(f"\r{label:24} [{i}/{n}]", end="", file=sys.stderr, flush=True)
+
+    def clear():
+        if not args.quiet and sys.stderr.isatty():
+            print("\r" + " " * 40 + "\r", end="", file=sys.stderr, flush=True)
+
+    rows = []
+    levels = list(range(1, 13))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return out, time.perf_counter() - t0
+
+    if args.block:
+        # raw block-API mode (-B): 64 KiB blocks, no framing
+        bs = 64 << 10
+        blocks = [data[i : i + bs] for i in range(0, len(data), bs)]
+        for li, level in enumerate(levels):
+            progress(f"plz4-block L{level}", li, len(levels))
+            comp, te = timed(lambda: [
+                compress_block(b, level=level) for b in blocks])
+            outs, td = timed(lambda: [
+                decompress_block(c, dst_size=bs) for c in comp])
+            assert b"".join(outs) == data
+            rows.append(("plz4-block", level, sum(map(len, comp)), te, td))
+        if have_upstream:
+            for li, level in enumerate(levels):
+                progress(f"upstream-block L{level}", li, len(levels))
+                comp, te = timed(lambda: [
+                    upstream.compress(b, level) for b in blocks])
+                outs, td = timed(lambda: [
+                    upstream.decompress(c, bs) for c in comp])
+                assert b"".join(outs) == data
+                rows.append(("upstream-block", level,
+                             sum(map(len, comp)), te, td))
+    else:
+        for li, level in enumerate(levels):
+            progress(f"plz4 L{level}", li, len(levels))
+            comp, te = timed(lambda: compress(
+                data, level=level, parallel=args.cpus,
+                content_checksum=False))
+            out, td = timed(lambda: decompress(comp, parallel=args.cpus))
             assert out == data
-            print(f"{backend:8} {level:5} {len(data) / len(comp):7.3f} "
-                  f"{len(data) / 1e6 / max(t_enc, 1e-9):9.1f} "
-                  f"{len(data) / 1e6 / max(t_dec, 1e-9):9.1f}")
+            rows.append(("plz4", level, len(comp), te, td))
+        if have_upstream:
+            bs = 4 << 20
+            blocks = [data[i : i + bs] for i in range(0, len(data), bs)]
+            for li, level in enumerate(levels):
+                progress(f"upstream L{level}", li, len(levels))
+                comp, te = timed(lambda: [
+                    upstream.compress(b, level) for b in blocks])
+                outs, td = timed(lambda: [
+                    upstream.decompress(c, bs) for c in comp])
+                assert b"".join(outs) == data
+                rows.append(("upstream", level, sum(map(len, comp)), te, td))
+        if args.device:
+            progress("device L1", 0, 1)
+            comp, te = timed(lambda: compress(
+                data, level=1, backend="device", parallel=args.cpus,
+                content_checksum=False))
+            out, td = timed(lambda: decompress(
+                comp, backend="device", parallel=args.cpus))
+            assert out == data
+            rows.append(("device", 1, len(comp), te, td))
+    clear()
+
+    print(f"payload: {len(data)} bytes"
+          + (" (raw block API, 64KiB)" if args.block else ""))
+    print(f"{'codec':16} {'level':5} {'ratio':>7} {'enc MB/s':>9} "
+          f"{'dec MB/s':>9}")
+    for codec, level, csize, te, td in rows:
+        print(f"{codec:16} {level:5} {len(data) / csize:7.3f} "
+              f"{len(data) / 1e6 / max(te, 1e-9):9.1f} "
+              f"{len(data) / 1e6 / max(td, 1e-9):9.1f}")
     return 0
 
 
@@ -266,6 +332,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("file", nargs="?")
     b.add_argument("--device", action="store_true",
                    help="also benchmark the device backend")
+    b.add_argument("-B", "--block", action="store_true",
+                   help="raw block-API mode (no framing, 64KiB blocks)")
+    b.add_argument("--ram", action="store_true",
+                   help="in-memory mode (accepted for reference CLI parity; "
+                        "payloads are always read into memory here)")
+    b.add_argument("-q", "--quiet", action="store_true")
     b.set_defaults(fn=cmd_bakeoff)
     return p
 
