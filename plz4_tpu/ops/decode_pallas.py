@@ -286,7 +286,12 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
     window right-aligned in packed words (logical dict byte -k is physical
     byte Wd*4 - k). Match copies that reach before the block start read
     from the window (reference: LZ4_decompress_safe_usingDict,
-    compress/decompress.go:127-143)."""
+    compress/decompress.go:127-143).
+
+    Copy scheme mirrors the plain kernel: carried-word copies for literals
+    and in-block matches (2 loads + 2 stores per 4 bytes), with word copies
+    for the dict segment of window-reaching matches — the round-1 version
+    used per-byte RMW loops here and paid ~4x the plain kernel."""
     Wc = cw_ref.shape[0]
     Wo = ow_ref.shape[0]
     Wd = dw_ref.shape[0]
@@ -312,12 +317,55 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
         w = dw_ref[p >> 2]
         return (w >> ((p & 3) * 8)) & 255
 
+    def rd_d_word(k):
+        """4 dict bytes starting k positions before the block start."""
+        p = jnp.clip(DB - k, 0, DB - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = dw_ref[idx]
+        hi = dw_ref[jnp.minimum(idx + 1, Wd - 1)]
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
+
+    def rd_o_word(p):
+        p = jnp.clip(p, 0, N - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = ow_ref[idx]
+        hi = ow_ref[jnp.minimum(idx + 1, Wo - 1)]
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
+
     def wr_o(p, v):
         p = jnp.clip(p, 0, N - 1)
         idx = p >> 2
         sh = (p & 3) * 8
         w = ow_ref[idx]
         ow_ref[idx] = (w & (jnp.int32(-1) ^ (255 << sh))) | (v << sh)
+
+    def wr_o_word(p, v):
+        p = jnp.clip(p, 0, N - 5)
+        idx = p >> 2
+        idx2 = jnp.minimum(idx + 1, Wo - 1)
+        sh = (p & 3) * 8
+        lo_mask = (1 << sh) - 1
+        lo = ow_ref[idx]
+        hi = ow_ref[idx2]
+        ow_ref[idx] = (lo & lo_mask) | (v << sh)
+        v_hi = jax.lax.shift_right_logical(v, 32 - sh) & lo_mask
+        ow_ref[idx2] = (hi & (jnp.int32(-1) ^ lo_mask)) | v_hi
+
+    def rd_c_word(p):
+        p = jnp.clip(p, 0, C - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = cw_ref[idx]
+        hi = cw_ref[jnp.minimum(idx + 1, Wc - 1)]
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
 
     def read_varint(ip, base):
         def vcond(s):
@@ -339,45 +387,124 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
     def body(state):
         ip, op, ok, _ = state
         bad = ip >= clen
-        token = rd_c(ip)
+        hw = rd_c_word(ip)
+        token = hw & 255
         ip = ip + 1
 
         lit_len = token >> 4
-        lit_len, ip = jax.lax.cond(
-            lit_len == 15, lambda: read_varint(ip, 15),
-            lambda: (lit_len, ip))
+        ext0 = (hw >> 8) & 255
+
+        def lit_ext():
+            return jax.lax.cond(
+                ext0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + ext0, ip + 1))
+
+        lit_len, ip = jax.lax.cond(lit_len == 15, lit_ext,
+                                   lambda: (lit_len, ip))
         bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
 
-        def lcopy(i, _):
-            wr_o(op + i, rd_c(ip + i))
-            return 0
+        lit_n = jnp.where(bad, 0, lit_len)
+        use_words = op + lit_n + 4 <= N
 
-        jax.lax.fori_loop(0, jnp.where(bad, 0, lit_len), lcopy, 0)
+        def lit_words():
+            def wbody(t, _):
+                wr_o_word(op + t * 4, rd_c_word(ip + t * 4))
+                return 0
+            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody, 0)
+
+        def lit_bytes():
+            def bbody(i, _):
+                wr_o(op + i, rd_c(ip + i))
+                return 0
+            jax.lax.fori_loop(0, lit_n, bbody, 0)
+
+        jax.lax.cond(use_words, lit_words, lit_bytes)
         ip = ip + lit_len
         op = op + lit_len
 
         done = (ip >= clen) | bad
 
         def do_match(ip, op, bad):
-            off = rd_c(ip) | (rd_c(ip + 1) << 8)
+            mw = rd_c_word(ip)
+            off = mw & 0xFFFF
             ip = ip + 2
             bad = bad | (ip > clen) | (off == 0)
             mlen = token & 15
-            mlen, ip = jax.lax.cond(
-                mlen == 15, lambda: read_varint(ip, 15),
-                lambda: (mlen, ip))
+            mext0 = (mw >> 16) & 255
+
+            def m_ext():
+                return jax.lax.cond(
+                    mext0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + mext0, ip + 1))
+
+            mlen, ip = jax.lax.cond(mlen == 15, m_ext, lambda: (mlen, ip))
             mlen = mlen + 4
             bad = bad | (op + mlen > N) | (off > op + dlen)
 
-            def mcopy(i, _):
-                src = op - off + i
+            m_n = jnp.where(bad, 0, mlen)
+            # dict portion: bytes while op - off + i < 0 come from the
+            # window; word copies when 4 consecutive source bytes stay
+            # inside the dict
+            dict_n = jnp.clip(off - op, 0, m_n)
+            room = op + m_n + 4 <= N
+
+            def d_words():
+                def wbody(t, _):
+                    # k = distance before block start of source byte
+                    k = off - op - t * 4
+                    wr_o_word(op + t * 4, rd_d_word(k))
+                    return 0
+                # only full words whose 4 source bytes are all in-dict
+                jax.lax.fori_loop(0, dict_n >> 2, wbody, 0)
+                # tail bytes of the dict portion (plus any straddle into
+                # the block) fall through to the byte loop below
+
+            def d_none():
+                pass
+
+            jax.lax.cond(room & (dict_n >= 4), d_words, d_none)
+            tail_start = jnp.where(room, dict_n & ~jnp.int32(3), 0)
+
+            def straddle(i, _):
+                src = op - off + tail_start + i
                 v = jax.lax.cond(src < 0, lambda: rd_d(-src),
                                  lambda: rd_o(src))
-                wr_o(op + i, v)
+                wr_o(op + tail_start + i, v)
                 return 0
 
-            jax.lax.fori_loop(0, jnp.where(bad, 0, mlen), mcopy, 0)
-            return ip, op + jnp.where(bad, 0, mlen), bad
+            # copy byte-wise only across the dict/block boundary region
+            # (pure in-block matches skip this entirely)
+            straddle_n = jnp.where(
+                dict_n > 0,
+                jnp.minimum(m_n - tail_start, dict_n - tail_start + 4),
+                0)
+            straddle_n = jnp.clip(straddle_n, 0, m_n - tail_start)
+            jax.lax.fori_loop(0, straddle_n, straddle, 0)
+
+            # in-block remainder: carried-word scheme when offset allows
+            rem_start = tail_start + straddle_n
+            rem_n = m_n - rem_start
+            use_carried = (off >= 8) & room
+            use_wordsm = (off >= 4) & room
+
+            def m_carried():
+                def wbody(t, _):
+                    p = op + rem_start + t * 4
+                    wr_o_word(p, rd_o_word(p - off))
+                    return 0
+                jax.lax.fori_loop(0, (rem_n + 3) >> 2, wbody, 0)
+
+            def m_bytes():
+                def bbody(i, _):
+                    p = op + rem_start + i
+                    wr_o(p, rd_o(p - off))
+                    return 0
+                jax.lax.fori_loop(0, rem_n, bbody, 0)
+
+            jax.lax.cond(use_carried | use_wordsm, m_carried, m_bytes)
+            return ip, op + m_n, bad
 
         ip, op, bad = jax.lax.cond(
             done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)

@@ -27,19 +27,27 @@ from .decode_pallas import pack_words, unpack_words
 
 I32 = jnp.int32
 
-HASH_LOG = 14  # 2^14 entries * 4B = 64 KiB SMEM
+HASH_LOG = 14      # 2^14 entries * 4B = 64 KiB SMEM (greedy)
+MID_HASH_LOG = 13  # mid mode: 2 tables x 2^13 x 4B = 64 KiB total
 HASH_MUL = np.int32(np.uint32(2654435761).astype(np.int32))
 MAX_DISTANCE = 65535
 SKIP_STRENGTH = 6
 
 
-def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
+def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
+                   tab2_ref=None, mid: bool = False):
     """dw_ref: (Wd,) packed words of [window | block]; ow_ref: (Wo,) packed
     output words; tab_ref: (2^HASH_LOG,) scratch hash table (position+1,
     0 = empty). n_ref = [n, base, first]: the block occupies bytes
     [base, base+n); usable window bytes are [first, base) (the linked-mode
     / dictionary prefix — reference: LZ4_compress_fast_continue semantics,
-    clz4/clz4.go:224-248)."""
+    clz4/clz4.go:224-248).
+
+    mid=True is the HC-class variant for device levels >= 3: a second
+    table (tab2_ref) keeps the PREVIOUS same-hash position (a depth-2
+    chain), both candidates are length-scored, and the skip acceleration
+    is disabled — a bounded-SMEM stand-in for the host chain finder
+    (reference analog: LZ4HC_InsertAndGetWiderMatch, lz4hc.c:885)."""
     Wd = dw_ref.shape[0]
     Wo = ow_ref.shape[0]
     D = Wd * 4   # input byte capacity
@@ -86,8 +94,10 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
         v_hi = jax.lax.shift_right_logical(v, 32 - sh) & lo_mask
         ow_ref[idx2] = (hi & (jnp.int32(-1) ^ lo_mask)) | v_hi
 
+    HL = MID_HASH_LOG if mid else HASH_LOG
+
     def hash4(u32):
-        return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HASH_LOG)
+        return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HL)
 
     def emit_len_ext(pos, value):
         """Emit a 255-run length extension for value (= len - 15)."""
@@ -142,12 +152,17 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
     # ---- init hash table -------------------------------------------------
     def tinit(i, _):
         tab_ref[i] = 0
+        if mid:
+            tab2_ref[i] = 0
         return 0
     jax.lax.fori_loop(0, tab_ref.shape[0], tinit, 0)
 
     # preload window positions (reference: LZ4_loadDict analog)
     def wload(p, _):
-        tab_ref[hash4(rd_w(p))] = p + 1
+        h = hash4(rd_w(p))
+        if mid:
+            tab2_ref[h] = tab_ref[h]
+        tab_ref[h] = p + 1
         return 0
     jax.lax.fori_loop(first, base, wload, 0)
 
@@ -163,26 +178,68 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
     def body(state):
         ip, anchor, op, overflow = state
 
-        # --- search with skip acceleration -------------------------------
-        def s_cond(s):
-            sip, _, found, cpos = s
-            return (found == 0) & (sip <= mflimit)
+        # --- search (skip acceleration in greedy mode; depth-2 chain in
+        # mid mode) --------------------------------------------------------
+        if mid:
+            def s_cond(s):
+                sip, _, found, cpos = s
+                return (found == 0) & (sip <= mflimit)
 
-        def s_body(s):
-            sip, cnt, _, _ = s
-            u = rd_w(sip)
-            h = hash4(u)
-            cand = tab_ref[h] - 1
-            tab_ref[h] = sip + 1
-            good = ((cand >= first) & (cand < sip)
-                    & (sip - cand <= MAX_DISTANCE)
-                    & (rd_w(cand) == u))
-            step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
-            return (jnp.where(good, sip, sip + 1 + step), cnt + 1,
-                    good.astype(I32), cand)
+            def s_body(s):
+                sip, cnt, _, _ = s
+                u = rd_w(sip)
+                h = hash4(u)
+                candA = tab_ref[h] - 1
+                candB = tab2_ref[h] - 1
+                tab2_ref[h] = candA + 1
+                tab_ref[h] = sip + 1
 
-        sip, _, found, cand = jax.lax.while_loop(
-            s_cond, s_body, (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+                def valid(c):
+                    return ((c >= first) & (c < sip)
+                            & (sip - c <= MAX_DISTANCE) & (rd_w(c) == u))
+
+                goodA = valid(candA)
+                goodB = valid(candB)
+
+                def quick_len(c):
+                    """4 + extra matching words (capped probe) to rank the
+                    two candidates without the full extension loop."""
+                    e1 = (rd_w(c + 4) == rd_w(sip + 4)).astype(I32)
+                    e2 = ((e1 != 0)
+                          & (rd_w(c + 8) == rd_w(sip + 8))).astype(I32)
+                    return e1 + e2
+
+                la = jnp.where(goodA, 1 + quick_len(candA), 0)
+                lb = jnp.where(goodB, 1 + quick_len(candB), 0)
+                cand = jnp.where(lb > la, candB, candA)
+                good = goodA | goodB
+                return (jnp.where(good, sip, sip + 1), cnt + 1,
+                        good.astype(I32), cand)
+
+            sip, _, found, cand = jax.lax.while_loop(
+                s_cond, s_body,
+                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        else:
+            def s_cond(s):
+                sip, _, found, cpos = s
+                return (found == 0) & (sip <= mflimit)
+
+            def s_body(s):
+                sip, cnt, _, _ = s
+                u = rd_w(sip)
+                h = hash4(u)
+                cand = tab_ref[h] - 1
+                tab_ref[h] = sip + 1
+                good = ((cand >= first) & (cand < sip)
+                        & (sip - cand <= MAX_DISTANCE)
+                        & (rd_w(cand) == u))
+                step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
+                return (jnp.where(good, sip, sip + 1 + step), cnt + 1,
+                        good.astype(I32), cand)
+
+            sip, _, found, cand = jax.lax.while_loop(
+                s_cond, s_body,
+                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
         def no_match():
             # overflow flag carried as i32 (Mosaic rejects i1 cond results)
@@ -235,7 +292,10 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref):
             nip = mip + mlen
             # seed one intermediate hash (reference: lz4.c inserts ip-2)
             u2 = rd_w(nip - 2)
-            tab_ref[hash4(u2)] = nip - 2 + 1
+            h2 = hash4(u2)
+            if mid:
+                tab2_ref[h2] = tab_ref[h2]
+            tab_ref[h2] = nip - 2 + 1
             return nip, nip, op2, (op2 > out_limit).astype(I32)
 
         ip, anchor, op, overflow = jax.lax.cond(found != 0, with_match,
@@ -359,6 +419,90 @@ def encode_batch_pallas(data: jnp.ndarray, lens: jnp.ndarray,
     (see decode_batch_pallas for why not vmap)."""
     fn = functools.partial(encode_block_pallas, interpret=interpret)
     return jax.lax.map(lambda args: fn(*args), (data, lens))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_block_pallas_mid(data: jnp.ndarray, n: jnp.ndarray,
+                            interpret: bool = False):
+    """HC-class device encode (depth-2 chain): device levels >= 3 route
+    here instead of the ~2 MB/s XLA array path."""
+    N = data.shape[0]
+    assert N % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
+    dw = pack_words(data)
+    meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
+    ow, total, ok = pl.pallas_call(
+        functools.partial(_encode_kernel, mid=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((CAP // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << MID_HASH_LOG,), I32),
+                        pltpu.SMEM((1 << MID_HASH_LOG,), I32)],
+        interpret=interpret,
+    )(dw, meta)
+    return unpack_words(ow), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
+                                 dict_buf: jnp.ndarray, dlen: jnp.ndarray,
+                                 interpret: bool = False):
+    """Mid-mode encode with a window prefix (linked/dict device levels >= 3)."""
+    N = data.shape[0]
+    D = dict_buf.shape[0]
+    assert N % 4 == 0 and D % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    combined = jnp.concatenate(
+        [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
+    dw = pack_words(combined)
+    meta = jnp.stack([n.astype(I32), jnp.int32(D),
+                      jnp.int32(D) - dlen.astype(I32)])
+    ow, total, ok = pl.pallas_call(
+        functools.partial(_encode_kernel, mid=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((CAP // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << MID_HASH_LOG,), I32),
+                        pltpu.SMEM((1 << MID_HASH_LOG,), I32)],
+        interpret=interpret,
+    )(dw, meta)
+    return unpack_words(ow), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_batch_pallas_mid(data, lens, interpret: bool = False):
+    fn = functools.partial(encode_block_pallas_mid, interpret=interpret)
+    return jax.lax.map(lambda args: fn(*args), (data, lens))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_batch_pallas_mid_dict(data, lens, dicts, dlens,
+                                 interpret: bool = False):
+    fn = functools.partial(encode_block_pallas_mid_dict, interpret=interpret)
+    return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
 def encode_block_host(data: bytes, interpret: bool | None = None):

@@ -139,23 +139,32 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         a, l, da, dl = _shard_args(
             mesh, jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(darr),
             jnp.asarray(dlens))
-        if _use_pallas() and level <= 2:
+        if _use_pallas():
             from ..ops import encode_pallas
 
-            out, totals, compressible = encode_pallas.encode_batch_pallas_dict(
-                a, l, da, dl)
+            if level <= 2:
+                out, totals, compressible = \
+                    encode_pallas.encode_batch_pallas_dict(a, l, da, dl)
+            else:
+                # HC-class depth-2 kernel: device levels 3+ no longer fall
+                # back to the slow XLA array path
+                out, totals, compressible = \
+                    encode_pallas.encode_batch_pallas_mid_dict(a, l, da, dl)
         else:
             out, totals, compressible = encode_jax.encode_batch_dict(
                 a, l, da, dl, level=level)
     else:
         a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
-        if _use_pallas() and level <= 2:
-            # pallas kernel implements the greedy (level 1-2 class) search;
-            # HC levels keep the multi-candidate array path so the level's
-            # ratio semantics hold on device too
+        if _use_pallas():
             from ..ops import encode_pallas
 
-            out, totals, compressible = encode_pallas.encode_batch_pallas(a, l)
+            if level <= 2:
+                out, totals, compressible = \
+                    encode_pallas.encode_batch_pallas(a, l)
+            else:
+                # HC-class depth-2 kernel (see encode_pallas mid mode)
+                out, totals, compressible = \
+                    encode_pallas.encode_batch_pallas_mid(a, l)
         else:
             out, totals, compressible = encode_jax.encode_batch(
                 a, l, level=level)

@@ -103,9 +103,20 @@ def test_cli_dict(tmp_path):
 
 
 def test_cli_bakeoff(payload_file, capsys):
-    assert cli.main(["bakeoff", str(payload_file)]) == 0
+    assert cli.main(["bakeoff", str(payload_file), "-q"]) == 0
     out = capsys.readouterr().out
-    assert "native" in out and "ratio" in out
+    assert "plz4" in out and "ratio" in out
+    # the upstream competitor rows appear whenever the reference mount
+    # is present (they are the bakeoff's point)
+    from plz4_tpu.native import upstream
+    if upstream.available():
+        assert "upstream" in out
+
+
+def test_cli_bakeoff_block_mode(payload_file, capsys):
+    assert cli.main(["bakeoff", str(payload_file), "-B", "-q"]) == 0
+    out = capsys.readouterr().out
+    assert "plz4-block" in out and "raw block API" in out
 
 
 def test_block_size_parse():

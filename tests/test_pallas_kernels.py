@@ -118,3 +118,82 @@ def test_pallas_encode_window_partial():
         jnp.int32(len(dict_)), interpret=True)
     comp = np.asarray(out)[: int(total)].tobytes()
     assert native.decompress(comp, len(rec), dict_=dict_) == rec
+
+
+def test_dict_kernel_boundary_fuzz():
+    """Stress the dict kernel's word/straddle/byte copy partition: random
+    chains whose matches straddle the window/block boundary at every
+    alignment."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plz4_tpu import native
+
+    rng = np.random.default_rng(0xD1C7)
+    for trial in range(24):
+        dlen = int(rng.integers(8, 300)) * 4
+        dict_ = bytes(rng.integers(97, 105, dlen, dtype=np.uint8))
+        # craft data that matches into the dict at varying depths
+        parts = []
+        for _ in range(6):
+            a = int(rng.integers(0, dlen - 8))
+            ln = int(rng.integers(4, min(64, dlen - a)))
+            parts.append(dict_[a : a + ln])
+            parts.append(bytes(rng.integers(0, 256, int(rng.integers(1, 9)),
+                                            dtype=np.uint8)))
+        data = b"".join(parts)
+        comp = native.compress(data, level=6, dict_=dict_)
+        # pad dict to a multiple of 4 (kernel contract)
+        D = (dlen + 3) & ~3
+        dbuf = np.zeros(D, dtype=np.uint8)
+        dbuf[D - dlen:] = np.frombuffer(dict_, dtype=np.uint8)
+        C = max(16, (len(comp) + 8 + 3) & ~3)
+        cbuf = np.zeros(C, dtype=np.uint8)
+        cbuf[: len(comp)] = np.frombuffer(comp, dtype=np.uint8)
+        cap = (len(data) + 3) & ~3
+        out, n, ok = decode_pallas.decode_block_pallas_dict(
+            jnp.asarray(cbuf), jnp.int32(len(comp)), jnp.asarray(dbuf),
+            jnp.int32(dlen), out_cap=cap, interpret=True)
+        assert bool(ok), f"trial {trial}"
+        assert np.asarray(out)[: int(n)].tobytes() == data, f"trial {trial}"
+
+
+@pytest.mark.parametrize("data_name,seed", [("text", 90), ("mixed", 92)])
+def test_mid_kernel_better_ratio_and_valid(data_name, seed):
+    """The depth-2 mid kernel (device levels >= 3) must emit valid streams
+    with ratio >= the greedy kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = make_compressible(6000, seed=seed)
+    N = max(16, (len(data) + 3) & ~3)
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    og, tg, okg = encode_pallas.encode_block_pallas(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True)
+    om, tm, okm = encode_pallas.encode_block_pallas_mid(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True)
+    assert bool(okm)
+    cm = np.asarray(om)[: int(tm)].tobytes()
+    assert native.decompress(cm, len(data)) == data
+    assert int(tm) <= int(tg)
+
+
+def test_mid_kernel_dict_window():
+    import jax.numpy as jnp
+    import numpy as np
+
+    dict_ = make_compressible(3000, seed=7)
+    data = dict_[500:2500] + make_compressible(1000, seed=8)
+    N = max(16, (len(data) + 3) & ~3)
+    D = (len(dict_) + 3) & ~3
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    dbuf = np.zeros(D, np.uint8)
+    dbuf[D - len(dict_):] = np.frombuffer(dict_, np.uint8)
+    om, tm, okm = encode_pallas.encode_block_pallas_mid_dict(
+        jnp.asarray(buf), jnp.int32(len(data)), jnp.asarray(dbuf),
+        jnp.int32(len(dict_)), interpret=True)
+    assert bool(okm)
+    cm = np.asarray(om)[: int(tm)].tobytes()
+    assert native.decompress(cm, len(data), dict_=dict_) == data
