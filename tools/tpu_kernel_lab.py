@@ -1,0 +1,311 @@
+"""On-chip kernel experiments — run when the axon tunnel is alive.
+
+Measures, with the single-dispatch k-loop methodology from
+docs/perf_notes.md (data variation against hoisting, scalar device_get as
+the only true barrier, overhead subtraction):
+
+  1. baseline: current pallas decode / encode / mid-encode throughput
+  2. decode cost split: parse-only kernel (copies ablated) vs full
+  3. batching: lax.map vs grid-based pallas_call
+  4. DMA issue overhead: pltpu.make_async_copy on VMEM refs
+
+Usage:  python tools/tpu_kernel_lab.py [experiment ...]
+        (default: all; each prints one line per measurement)
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+import plz4_tpu  # noqa: E402
+from plz4_tpu import native  # noqa: E402
+from plz4_tpu.ops import decode_pallas, encode_pallas  # noqa: E402
+
+I32 = jnp.int32
+BLOCK = 65536
+B = 16  # blocks per batch
+
+
+def corpus_blocks():
+    rng = np.random.default_rng(1234)
+    vocab = [bytes(rng.integers(97, 123, int(rng.integers(2, 12)),
+                                dtype=np.uint8)) + b" " for _ in range(512)]
+    out = bytearray()
+    while len(out) < B * BLOCK:
+        out += vocab[int(rng.integers(len(vocab)))]
+    data = bytes(out[: B * BLOCK])
+    return [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
+
+
+def timed_kloop(make_fn, k, payload_bytes, label, reps=3):
+    """make_fn(vary) -> jitted zero-arg callable returning a scalar."""
+    f_vary = make_fn(True)
+    f_hoist = make_fn(False)
+    int(f_vary())  # compile
+    int(f_hoist())
+    ovh = min(_t(f_hoist) for _ in range(reps))
+    t = min(_t(f_vary) for _ in range(reps))
+    per = max(t - ovh, 1e-9) / k
+    print(f"{label}: {payload_bytes / 1e6 / per:8.1f} MB/s "
+          f"({per * 1e3:.1f} ms/pass, ovh {ovh:.2f}s)")
+    return payload_bytes / per
+
+
+def _t(f):
+    t0 = time.perf_counter()
+    int(f())
+    return time.perf_counter() - t0
+
+
+def exp_baseline():
+    blocks = corpus_blocks()
+    data = jnp.asarray(np.stack(
+        [np.frombuffer(b, np.uint8) for b in blocks]))
+    lens = jnp.full((B,), BLOCK, dtype=I32)
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 16
+    carr = np.zeros((B, C), np.uint8)
+    clens = np.zeros((B,), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    comp = jnp.asarray(carr)
+    clens = jnp.asarray(clens)
+
+    K = 8
+
+    def mk_dec(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                c = comp.at[:, -1].set((i & 255).astype(jnp.uint8)) \
+                    if vary else comp
+                out, n, ok = decode_pallas.decode_batch_pallas(
+                    c, clens, out_cap=BLOCK)
+                return acc + jnp.sum(n)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    def mk_enc(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                d = data ^ (i % 7).astype(jnp.uint8) if vary else data
+                out, tot, ok = encode_pallas.encode_batch_pallas(d, lens)
+                return acc + jnp.sum(tot)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    def mk_mid(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                d = data ^ (i % 7).astype(jnp.uint8) if vary else data
+                out, tot, ok = encode_pallas.encode_batch_pallas_mid(d, lens)
+                return acc + jnp.sum(tot)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    nbytes = B * BLOCK * K
+    timed_kloop(mk_dec, K, nbytes, "decode  (batch 16x64K)")
+    timed_kloop(mk_enc, K, nbytes, "encode  (batch 16x64K)")
+    timed_kloop(mk_mid, K, nbytes, "mid-enc (batch 16x64K)")
+
+
+def _parse_only_kernel(cw_ref, clen_ref, n_out_ref, ok_ref):
+    """Decode parse WITHOUT any output writes: measures the parse share of
+    the sequence loop (copies ablated)."""
+    Wc = cw_ref.shape[0]
+    C = Wc * 4
+    clen = clen_ref[0]
+
+    def rd_c(p):
+        p = jnp.clip(p, 0, C - 1)
+        w = cw_ref[p >> 2]
+        return (w >> ((p & 3) * 8)) & 255
+
+    def rd_c_word(p):
+        p = jnp.clip(p, 0, C - 5)
+        idx = p >> 2
+        sh = (p & 3) * 8
+        lo = cw_ref[idx]
+        hi = cw_ref[jnp.minimum(idx + 1, Wc - 1)]
+        return jnp.where(
+            sh == 0, lo,
+            ((lo >> sh) & ((1 << (32 - sh)) - 1)) | (hi << (32 - sh)))
+
+    def read_varint(ip, base):
+        def vcond(s):
+            _, _, last = s
+            return last == 255
+
+        def vbody(s):
+            total, p, _ = s
+            b = rd_c(p)
+            return total + b, p + 1, b
+
+        total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
+        return total, p
+
+    def cond(state):
+        _, _, done = state
+        return jnp.logical_not(done)
+
+    def body(state):
+        ip, op, _ = state
+        hw = rd_c_word(ip)
+        token = hw & 255
+        ip = ip + 1
+        lit_len = token >> 4
+        ext0 = (hw >> 8) & 255
+        lit_len, ip = jax.lax.cond(
+            lit_len == 15,
+            lambda: jax.lax.cond(ext0 == 255,
+                                 lambda: read_varint(ip, 15),
+                                 lambda: (15 + ext0, ip + 1)),
+            lambda: (lit_len, ip))
+        ip = ip + lit_len
+        op = op + lit_len
+        done = ip >= clen
+
+        def do_match(ip, op):
+            mw = rd_c_word(ip)
+            ip = ip + 2
+            mlen = token & 15
+            mext0 = (mw >> 16) & 255
+            mlen, ip = jax.lax.cond(
+                mlen == 15,
+                lambda: jax.lax.cond(mext0 == 255,
+                                     lambda: read_varint(ip, 15),
+                                     lambda: (15 + mext0, ip + 1)),
+                lambda: (mlen, ip))
+            return ip, op + mlen + 4
+
+        ip, op = jax.lax.cond(done, lambda a, b: (a, b), do_match, ip, op)
+        return ip, op, done | (ip >= clen)
+
+    ip, op, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), clen <= 0))
+    n_out_ref[0] = op
+    ok_ref[0] = jnp.int32(1)
+
+
+@functools.partial(jax.jit)
+def _parse_only(comp, clen):
+    return pl.pallas_call(
+        _parse_only_kernel,
+        out_shape=(jax.ShapeDtypeStruct((1,), I32),
+                   jax.ShapeDtypeStruct((1,), I32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+    )(comp, jnp.reshape(clen, (1,)))
+
+
+def exp_parse_split():
+    blocks = corpus_blocks()
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 24
+    carr = np.zeros((B, C), np.uint8)
+    clens = np.zeros((B,), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    cw = jnp.asarray(decode_pallas.pack_words(jnp.asarray(carr)))
+    clens = jnp.asarray(clens)
+    K = 16
+
+    def mk(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                # perturb the final (padding) word so the loop body cannot
+                # be hoisted; the parser never reads past clen
+                c = cw.at[:, -1].set(i) if vary else cw
+
+                def one(args):
+                    w, l = args
+                    n, ok = _parse_only(w, l)
+                    return n[0]
+
+                ns = jax.lax.map(one, (c, clens))
+                return acc + jnp.sum(ns)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    nbytes = B * BLOCK * K
+    timed_kloop(mk, K, nbytes, "parse-only decode")
+
+
+def exp_dma_overhead():
+    """Issue N small VMEM->VMEM async copies from a kernel; per-copy cost."""
+    N_COPIES = 256
+
+    def kern(src_ref, dst_ref, sem):
+        def body(i, _):
+            cp = pltpu.make_async_copy(
+                src_ref.at[pl.ds(i * 128, 128)],
+                dst_ref.at[pl.ds(i * 128, 128)],
+                sem)
+            cp.start()
+            cp.wait()
+            return 0
+        jax.lax.fori_loop(0, N_COPIES, body, 0)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((N_COPIES * 128,), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        )(x)
+
+    x = jnp.arange(N_COPIES * 128, dtype=jnp.float32)
+    y = run(x)
+    assert jnp.allclose(y, x), "DMA copy mismatch"
+    K = 50
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            y = run(x + i.astype(jnp.float32))
+            return acc + y[0]
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(loop(x))
+    t0 = time.perf_counter()
+    float(loop(x))
+    t = time.perf_counter() - t0
+    per_copy = t / (K * N_COPIES)
+    print(f"DMA 128-float VMEM copy: {per_copy * 1e9:.0f} ns/copy "
+          f"(incl. loop overhead)")
+
+
+def main():
+    which = sys.argv[1:] or ["baseline", "parse", "dma"]
+    plz4_tpu.enable_compile_cache()
+    print("backend:", jax.default_backend())
+    if "baseline" in which:
+        exp_baseline()
+    if "parse" in which:
+        exp_parse_split()
+    if "dma" in which:
+        exp_dma_overhead()
+
+
+if __name__ == "__main__":
+    main()
