@@ -311,6 +311,19 @@ def main() -> None:
         _log(f"config dict-records: ratio {n_bytes / enc_bytes:.3f}, "
              f"enc {n_bytes / 1e6 / te:.1f} MB/s, "
              f"dec {n_bytes / 1e6 / td:.1f} MB/s")
+
+        # realistic-corpus ratios (deterministic enwik8/Silesia stand-ins;
+        # full per-level table vs the upstream oracle in BASELINE.md)
+        from plz4_tpu import corpus as corpus_mod
+        for cname, cdata in (("enwik-like", corpus_mod.enwik_like(4 << 20)),
+                             ("silesia-like",
+                              corpus_mod.silesia_like(4 << 20))):
+            r1c = len(plz4.compress(cdata, parallel=-1, level=1,
+                                    content_checksum=False))
+            r9c = len(plz4.compress(cdata, parallel=-1, level=9,
+                                    content_checksum=False))
+            _log(f"corpus {cname}: L1 ratio {len(cdata) / r1c:.3f}, "
+                 f"L9 ratio {len(cdata) / r9c:.3f}")
     except Exception as e:  # pragma: no cover
         _log(f"engine bench skipped: {e}")
 
