@@ -295,6 +295,73 @@ def exp_dma_overhead():
           f"(incl. loop overhead)")
 
 
+def exp_grid():
+    """Grid-batched decode: ONE pallas_call with grid=(B,) instead of a
+    lax.map of B separate calls — measures per-block dispatch overhead
+    and whether Mosaic accepts SMEM operands under a grid."""
+    from plz4_tpu.ops.decode_pallas import _decode_kernel, pack_words
+
+    blocks = corpus_blocks()
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 24
+    carr = np.zeros((B, C), np.uint8)
+    clens = np.zeros((B, 1), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i, 0] = len(c)
+    cw = np.asarray(pack_words(jnp.asarray(carr)))
+    Wc = C // 4
+    Wo = BLOCK // 4
+
+    @jax.jit
+    def run(cw, clens):
+        return pl.pallas_call(
+            _decode_kernel,
+            grid=(B,),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, Wo), I32),
+                jax.ShapeDtypeStruct((B, 1), I32),
+                jax.ShapeDtypeStruct((B, 1), I32),
+            ),
+            in_specs=[
+                pl.BlockSpec((None, Wc), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((None, Wo), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        )(jnp.asarray(cw), jnp.asarray(clens))
+
+    try:
+        ow, n, ok = run(cw, clens)
+        n = np.asarray(n)
+        print("grid decode lowered; n_out:", n[:4].ravel().tolist())
+    except Exception as e:
+        print(f"grid decode failed to lower: {type(e).__name__}: "
+              f"{str(e)[:300]}")
+        return
+    K = 8
+
+    def mk(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                c = jnp.asarray(cw).at[:, -1].set(i) if vary                     else jnp.asarray(cw)
+                _, n, _ = run(c, jnp.asarray(clens))
+                return acc + jnp.sum(n)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    timed_kloop(mk, K, B * BLOCK * K, "grid decode (16x64K)")
+
+
 def main():
     which = sys.argv[1:] or ["baseline", "parse", "dma"]
     plz4_tpu.enable_compile_cache()
@@ -305,6 +372,8 @@ def main():
         exp_parse_split()
     if "dma" in which:
         exp_dma_overhead()
+    if "grid" in which:
+        exp_grid()
 
 
 if __name__ == "__main__":
