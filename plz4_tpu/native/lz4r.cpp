@@ -529,7 +529,13 @@ struct WinMin {
     std::vector<int32_t> pos;
     int head = 0, tail = 0;  // [head, tail)
 
-    void reserve(size_t n) { val.resize(n); pos.resize(n); }
+    void reset(size_t n) {
+        if (val.size() < n) {
+            val.resize(n);
+            pos.resize(n);
+        }
+        head = tail = 0;
+    }
 
     void push(int32_t j, int64_t v) {  // j strictly decreasing
         while (tail > head && val[tail - 1] >= v) --tail;
@@ -570,9 +576,22 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
 
     const int n = src_size;
 
+    // DP scratch is reused per thread: fresh multi-MB allocations pay
+    // hundreds of ms of first-touch page faults on this VM class (see
+    // docs/perf_notes.md), which would dwarf the parse itself at 4 MiB
+    // blocks. assign() keeps capacity; only the first block per thread
+    // faults.
+    struct OptScratch {
+        std::vector<int32_t> mlen, moff, g_len, run_of, len_of, sufarg;
+        std::vector<int64_t> dp, g, sufmin;
+    };
+    static thread_local OptScratch sc;
+
     // --- pass 1: longest match per position --------------------------------
-    std::vector<int32_t> mlen(n, 0);
-    std::vector<int32_t> moff(n, 0);
+    std::vector<int32_t>& mlen = sc.mlen;
+    std::vector<int32_t>& moff = sc.moff;
+    mlen.assign(n, 0);
+    moff.assign(n, 0);
     {
         ChainFinder cf(wbase, (size_t)(iend - wbase));
         if (src > wbase) cf.insert_upto(src);
@@ -614,17 +633,24 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
 
     // --- pass 2: backward DP over sequence starts --------------------------
     constexpr int64_t INF = int64_t(1) << 50;
-    std::vector<int64_t> dp(n + 1, INF);
-    std::vector<int32_t> g_len(n, 0);       // best match length at j
-    std::vector<int64_t> g(n, INF);         // match-part cost at j
-    std::vector<int32_t> run_of(n, -1);     // chosen literal-run length
-    std::vector<int32_t> len_of(n, 0);      // chosen match length (0 = final)
-    WinMin w0, w1, w2;                      // r in [0,14], [15,269], [270,524]
-    w0.reserve(n + 1);
-    w1.reserve(n + 1);
-    w2.reserve(n + 1);
-    std::vector<int64_t> sufmin(n + 2, INF);  // min (g[j]+j) for j >= i
-    std::vector<int32_t> sufarg(n + 2, -1);   // argmin for sufmin
+    std::vector<int64_t>& dp = sc.dp;
+    std::vector<int32_t>& g_len = sc.g_len;
+    std::vector<int64_t>& g = sc.g;
+    std::vector<int32_t>& run_of = sc.run_of;
+    std::vector<int32_t>& len_of = sc.len_of;
+    dp.assign(n + 1, INF);
+    g_len.assign(n, 0);       // best match length at j
+    g.assign(n, INF);         // match-part cost at j
+    run_of.assign(n, -1);     // chosen literal-run length
+    len_of.assign(n, 0);      // chosen match length (0 = final)
+    static thread_local WinMin w0, w1, w2;  // r in [0,14],[15,269],[270,524]
+    w0.reset(n + 1);
+    w1.reset(n + 1);
+    w2.reset(n + 1);
+    std::vector<int64_t>& sufmin = sc.sufmin;
+    std::vector<int32_t>& sufarg = sc.sufarg;
+    sufmin.assign(n + 2, INF);  // min (g[j]+j) for j >= i
+    sufarg.assign(n + 2, -1);   // argmin for sufmin
     dp[n] = INF;  // a sequence cannot start at n (handled by final run)
 
     for (int i = n - 1; i >= 0; --i) {

@@ -51,6 +51,70 @@ def unpack_words(words_i32: jnp.ndarray) -> jnp.ndarray:
                      words_i32.shape[-1] * 4).astype(jnp.uint8)
 
 
+_SRL = jax.lax.shift_right_logical
+
+
+def _make_copy_helpers(ow_ref):
+    """Funnel-copy helpers closed over the output ref: one SMEM load + one
+    store per 4 bytes (vs 2+2 for the per-word read-modify-write scheme);
+    fill_rot is the zero-load constant-pattern fill for period-1/2 matches
+    (RLE hot path)."""
+
+    def copy_funnel(ref, RefW, src, dst, n):
+        """Copy n bytes from byte position `src` of `ref` to byte position
+        `dst` of the output (funnel carries across iterations; the
+        trailing spill word may wild-write up to 4 bytes past dst+n —
+        callers guarantee slack and that later writes overwrite the
+        overshoot). For in-output sources the caller must guarantee
+        src + 8 <= dst (the funnel reads one source word ahead of the
+        write cursor)."""
+        s_idx = src >> 2
+        s_sh = (src & 3) * 8
+        d_idx = dst >> 2
+        d_sh = (dst & 3) * 8
+        nw = (n + 3) >> 2
+
+        def sfun(lo, hi):
+            # lo >>> s_sh | hi << (32 - s_sh); double-shifts keep the
+            # s_sh == 0 case branchless (hi << 32 becomes 0, not UB)
+            return _SRL(lo, s_sh) | ((hi << 1) << (31 - s_sh))
+
+        s_lo = ref[s_idx]
+        s_hi = ref[jnp.minimum(s_idx + 1, RefW - 1)]
+        v0 = sfun(s_lo, s_hi)
+        d_lo = ow_ref[d_idx]
+        ow_ref[d_idx] = (d_lo & ((1 << d_sh) - 1)) | (v0 << d_sh)
+
+        def wbody(t, carry):
+            s_prev, v_prev = carry
+            s_nxt = ref[jnp.minimum(s_idx + t + 1, RefW - 1)]
+            v = sfun(s_prev, s_nxt)
+            ow_ref[d_idx + t] = _SRL(_SRL(v_prev, 1), 31 - d_sh) | (v << d_sh)
+            return s_nxt, v
+
+        _, v_last = jax.lax.fori_loop(1, nw, wbody, (s_hi, v0))
+        # spill the final carry (wild: garbage high bytes land beyond the
+        # copy and are overwritten by subsequent output)
+        ow_ref[d_idx + nw] = _SRL(_SRL(v_last, 1), 31 - d_sh)
+
+    def fill_rot(dst, n, v):
+        """Fill n bytes at dst with the 4-byte pattern v (already aligned
+        to dst): one store per word, zero loads."""
+        d_idx = dst >> 2
+        d_sh = (dst & 3) * 8
+        rot = (v << d_sh) | _SRL(_SRL(v, 1), 31 - d_sh)
+        d_lo = ow_ref[d_idx]
+        ow_ref[d_idx] = (d_lo & ((1 << d_sh) - 1)) | (v << d_sh)
+
+        def wbody(t, _):
+            ow_ref[d_idx + t] = rot
+            return 0
+
+        jax.lax.fori_loop(1, ((n + 3) >> 2) + 1, wbody, 0)
+
+    return copy_funnel, fill_rot
+
+
 def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
     """cw_ref: (Wc,) packed compressed words (SMEM); ow_ref: (Wo,) packed
     output words (SMEM). clen in bytes."""
@@ -115,6 +179,8 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
         v_hi = jax.lax.shift_right_logical(v, 32 - sh) & lo_mask
         ow_ref[idx2] = (hi & (jnp.int32(-1) ^ lo_mask)) | v_hi
 
+    copy_funnel, fill_rot = _make_copy_helpers(ow_ref)
+
     def read_varint(ip, base):
         def vcond(s):
             _, _, last = s
@@ -154,37 +220,11 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
                                    lambda: (lit_len, ip))
         bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
 
-        # wild word copy (may overshoot <=3 bytes; later writes overwrite)
-        # unless too close to the end of the output buffer. Source and
-        # destination words are carried across iterations: 2 SMEM loads +
-        # 2 stores per 4 bytes instead of 4 loads + 2 stores.
         lit_n = jnp.where(bad, 0, lit_len)
-        use_words = op + lit_n + 4 <= N
+        use_words = op + lit_n + 8 <= N
 
         def lit_words():
-            s_idx = jnp.clip(ip, 0, C - 5) >> 2
-            s_sh = (ip & 3) * 8
-            d_p = jnp.clip(op, 0, N - 5)
-            d_idx = d_p >> 2
-            d_sh = (d_p & 3) * 8
-            d_mask = (1 << d_sh) - 1
-
-            def wbody(t, carry):
-                s_lo, d_lo = carry
-                s_hi = cw_ref[jnp.minimum(s_idx + t + 1, Wc - 1)]
-                v = jnp.where(
-                    s_sh == 0, s_lo,
-                    ((s_lo >> s_sh) & ((1 << (32 - s_sh)) - 1))
-                    | (s_hi << (32 - s_sh)))
-                d_hi = ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)]
-                ow_ref[d_idx + t] = (d_lo & d_mask) | (v << d_sh)
-                v_hi = jax.lax.shift_right_logical(v, 32 - d_sh) & d_mask
-                new_d_lo = (d_hi & (jnp.int32(-1) ^ d_mask)) | v_hi
-                ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)] = new_d_lo
-                return s_hi, new_d_lo
-
-            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody,
-                              (cw_ref[s_idx], ow_ref[d_idx]))
+            copy_funnel(cw_ref, Wc, ip, op, lit_n)
 
         def lit_bytes():
             def bbody(i, _):
@@ -192,7 +232,7 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
                 return 0
             jax.lax.fori_loop(0, lit_n, bbody, 0)
 
-        jax.lax.cond(use_words, lit_words, lit_bytes)
+        jax.lax.cond(use_words & (lit_n > 0), lit_words, lit_bytes)
         ip = ip + lit_len
         op = op + lit_len
 
@@ -218,39 +258,26 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
             bad = bad | (op + mlen > N) | (off > op)
 
             m_n = jnp.where(bad, 0, mlen)
-            # off >= 8: carried-word copy (source words cannot alias the
-            # freshly written destination words). off in [4,8): fresh-read
-            # word copy (source may read bytes this match just wrote — the
-            # per-iteration reload keeps it correct). off < 4: byte loop.
-            room = op + m_n + 4 <= N
-            use_carried = (off >= 8) & room
-            use_words = (off >= 4) & room
+            # off >= 8: funnel copy (source stays a word ahead of the write
+            # cursor). off 1/2: the output repeats with that period — fill
+            # with a rotated constant word, zero loads (RLE hot path).
+            # off 4..7: fresh-read word copy. off 3: byte loop.
+            room = op + m_n + 8 <= N
+            has = room & (m_n > 0)
 
-            def m_carried():
-                sp = jnp.clip(op - off, 0, N - 5)
-                s_idx = sp >> 2
-                s_sh = (sp & 3) * 8
-                d_p = jnp.clip(op, 0, N - 5)
-                d_idx = d_p >> 2
-                d_sh = (d_p & 3) * 8
-                d_mask = (1 << d_sh) - 1
+            def m_funnel():
+                copy_funnel(ow_ref, Wo, op - off, op, m_n)
 
-                def wbody(t, carry):
-                    s_lo, d_lo = carry
-                    s_hi = ow_ref[jnp.minimum(s_idx + t + 1, Wo - 1)]
-                    v = jnp.where(
-                        s_sh == 0, s_lo,
-                        ((s_lo >> s_sh) & ((1 << (32 - s_sh)) - 1))
-                        | (s_hi << (32 - s_sh)))
-                    d_hi = ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)]
-                    ow_ref[d_idx + t] = (d_lo & d_mask) | (v << d_sh)
-                    v_hi = jax.lax.shift_right_logical(v, 32 - d_sh) & d_mask
-                    new_d_lo = (d_hi & (jnp.int32(-1) ^ d_mask)) | v_hi
-                    ow_ref[jnp.minimum(d_idx + t + 1, Wo - 1)] = new_d_lo
-                    return s_hi, new_d_lo
-
-                jax.lax.fori_loop(0, (m_n + 3) >> 2, wbody,
-                                  (ow_ref[s_idx], ow_ref[d_idx]))
+            def m_splat():
+                b0 = rd_o(op - off)
+                v = jax.lax.cond(
+                    off == 1,
+                    lambda: b0 * jnp.int32(0x01010101),
+                    lambda: (b0 | (rd_o(op - off + 1) << 8))
+                    * jnp.int32(0x00010001))
+                # v holds the pattern aligned to (op - off); for off 1/2
+                # the period divides 4, so it is also aligned to op
+                fill_rot(op, m_n, v)
 
             def m_words():
                 def wbody(t, _):
@@ -265,8 +292,11 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
                 jax.lax.fori_loop(0, m_n, bbody, 0)
 
             jax.lax.cond(
-                use_carried, m_carried,
-                lambda: jax.lax.cond(use_words, m_words, m_bytes))
+                has & (off >= 8), m_funnel,
+                lambda: jax.lax.cond(
+                    has & (off <= 2), m_splat,
+                    lambda: jax.lax.cond(
+                        has & (off >= 4), m_words, m_bytes)))
             return ip, op + m_n, bad
 
         ip, op, bad = jax.lax.cond(

@@ -36,6 +36,10 @@ SKIP_STRENGTH = 6
 
 def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
                    tab2_ref=None, mid: bool = False):
+    # greedy mode: tab2_ref is a VALUE table (vtab[h] = the 4 input bytes
+    # at position tab[h]-1) — candidate verification becomes one aligned
+    # load instead of an unaligned funnel read of the candidate
+    # mid mode: tab2_ref is the depth-2 position chain
     """dw_ref: (Wd,) packed words of [window | block]; ow_ref: (Wo,) packed
     output words; tab_ref: (2^HASH_LOG,) scratch hash table (position+1,
     0 = empty). n_ref = [n, base, first]: the block occupies bytes
@@ -114,6 +118,43 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
         wr_b(p, v)
         return p + 1
 
+    SRL = jax.lax.shift_right_logical
+
+    def copy_lit_funnel(src, dst, n):
+        """Literal copy with one input load + one output store per 4
+        bytes (funnel-carried; the spill word wild-writes past dst+n —
+        the emit slack covers it and later emits overwrite)."""
+        s_idx = src >> 2
+        s_sh = (src & 3) * 8
+        d_idx = dst >> 2
+        d_sh = (dst & 3) * 8
+        nw = (n + 3) >> 2
+
+        def sfun(lo, hi):
+            return SRL(lo, s_sh) | ((hi << 1) << (31 - s_sh))
+
+        # stores are clipped: output overflow is only DETECTED after an
+        # emit (the incompressible flag discards the block), so a runaway
+        # literal run must stay memory-safe
+        s_lo = dw_ref[s_idx]
+        s_hi = dw_ref[jnp.minimum(s_idx + 1, Wd - 1)]
+        v0 = sfun(s_lo, s_hi)
+        d0 = jnp.minimum(d_idx, Wo - 1)
+        d_lo = ow_ref[d0]
+        ow_ref[d0] = (d_lo & ((1 << d_sh) - 1)) | (v0 << d_sh)
+
+        def wbody(t, carry):
+            s_prev, v_prev = carry
+            s_nxt = dw_ref[jnp.minimum(s_idx + t + 1, Wd - 1)]
+            v = sfun(s_prev, s_nxt)
+            ow_ref[jnp.minimum(d_idx + t, Wo - 1)] = (
+                SRL(SRL(v_prev, 1), 31 - d_sh) | (v << d_sh))
+            return s_nxt, v
+
+        _, v_last = jax.lax.fori_loop(1, nw, wbody, (s_hi, v0))
+        ow_ref[jnp.minimum(d_idx + nw, Wo - 1)] = SRL(SRL(v_last, 1),
+                                                      31 - d_sh)
+
     def emit_sequence(op, anchor, ip, mpos, mlen):
         """Emit literals [anchor, ip) + match (offset ip-mpos, len mlen).
         mlen == 0 means final literals (no match part)."""
@@ -123,11 +164,9 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
         # literal length
         op = jax.lax.cond(
             lit >= 15, lambda: emit_len_ext(op, lit - 15), lambda: op)
-        # literal bytes (wild word copy; output has slack)
-        def lcopy(t, _):
-            wr_w(op + t * 4, rd_w(anchor + t * 4))
-            return 0
-        jax.lax.fori_loop(0, (lit + 3) >> 2, lcopy, 0)
+        jax.lax.cond(lit > 0,
+                     lambda: copy_lit_funnel(anchor, op, lit),
+                     lambda: None)
         op = op + lit
 
         def with_match():
@@ -159,9 +198,12 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
 
     # preload window positions (reference: LZ4_loadDict analog)
     def wload(p, _):
-        h = hash4(rd_w(p))
+        u = rd_w(p)
+        h = hash4(u)
         if mid:
             tab2_ref[h] = tab_ref[h]
+        else:
+            tab2_ref[h] = u
         tab_ref[h] = p + 1
         return 0
     jax.lax.fori_loop(first, base, wload, 0)
@@ -220,26 +262,53 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
                 s_cond, s_body,
                 (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
         else:
+            # the scan advances mostly byte-by-byte: carry the two input
+            # words across iterations so reading u costs shifts (plus one
+            # amortized load on word crossings) instead of a fresh
+            # two-load unaligned read per position
+            SRLs = jax.lax.shift_right_logical
+
             def s_cond(s):
-                sip, _, found, cpos = s
+                sip, _, found, cpos, _, _ = s
                 return (found == 0) & (sip <= mflimit)
 
             def s_body(s):
-                sip, cnt, _, _ = s
-                u = rd_w(sip)
+                sip, cnt, _, _, w_lo, w_hi = s
+                sh = (sip & 3) * 8
+                u = SRLs(w_lo, sh) | ((w_hi << 1) << (31 - sh))
                 h = hash4(u)
                 cand = tab_ref[h] - 1
+                cval = tab2_ref[h]
                 tab_ref[h] = sip + 1
+                tab2_ref[h] = u
                 good = ((cand >= first) & (cand < sip)
                         & (sip - cand <= MAX_DISTANCE)
-                        & (rd_w(cand) == u))
-                step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
-                return (jnp.where(good, sip, sip + 1 + step), cnt + 1,
-                        good.astype(I32), cand)
+                        & (cval == u))
+                step = SRLs(cnt, SKIP_STRENGTH)
+                nsip = jnp.where(good, sip, sip + 1 + step)
+                idx_old = sip >> 2
+                idx_new = jnp.minimum(nsip >> 2, Wd - 2)
 
-            sip, _, found, cand = jax.lax.while_loop(
+                def keep():
+                    return w_lo, w_hi
+
+                def shift_one():
+                    return w_hi, dw_ref[idx_new + 1]
+
+                def reload():
+                    return dw_ref[idx_new], dw_ref[idx_new + 1]
+
+                w_lo2, w_hi2 = jax.lax.cond(
+                    idx_new == idx_old, keep,
+                    lambda: jax.lax.cond(
+                        idx_new == idx_old + 1, shift_one, reload))
+                return (nsip, cnt + 1, good.astype(I32), cand, w_lo2, w_hi2)
+
+            ip_idx = jnp.minimum(ip >> 2, Wd - 2)
+            sip, _, found, cand, _, _ = jax.lax.while_loop(
                 s_cond, s_body,
-                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 dw_ref[ip_idx], dw_ref[ip_idx + 1]))
 
         def no_match():
             # overflow flag carried as i32 (Mosaic rejects i1 cond results)
@@ -295,6 +364,8 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
             h2 = hash4(u2)
             if mid:
                 tab2_ref[h2] = tab_ref[h2]
+            else:
+                tab2_ref[h2] = u2
             tab_ref[h2] = nip - 2 + 1
             return nip, nip, op2, (op2 > out_limit).astype(I32)
 
@@ -355,7 +426,8 @@ def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32)],
+        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32),
+                        pltpu.SMEM((1 << HASH_LOG,), I32)],
         interpret=interpret,
     )(dw, meta)
     return unpack_words(ow), total[0], ok[0] != 0
@@ -398,7 +470,8 @@ def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32)],
+        scratch_shapes=[pltpu.SMEM((1 << HASH_LOG,), I32),
+                        pltpu.SMEM((1 << HASH_LOG,), I32)],
         interpret=interpret,
     )(dw, meta)
     return unpack_words(ow), total[0], ok[0] != 0

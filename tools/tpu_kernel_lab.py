@@ -48,18 +48,33 @@ def corpus_blocks():
     return [data[i : i + BLOCK] for i in range(0, len(data), BLOCK)]
 
 
+_NULL = None
+
+
+def _null_dispatch():
+    """Measure bare dispatch latency with a trivial jitted scalar."""
+    global _NULL
+    if _NULL is None:
+        _NULL = jax.jit(lambda x: x + 1)
+        int(_NULL(jnp.int32(1)))
+    t0 = time.perf_counter()
+    int(_NULL(jnp.int32(2)))
+    return time.perf_counter() - t0
+
+
 def timed_kloop(make_fn, k, payload_bytes, label, reps=3):
-    """make_fn(vary) -> jitted zero-arg callable returning a scalar."""
+    """make_fn(vary) -> jitted zero-arg callable returning a scalar.
+    XLA does not hoist loop-invariant pallas calls out of fori_loop in
+    this stack, so the 'hoistable' variant is useless as an overhead
+    probe; subtract the bare dispatch latency instead."""
     f_vary = make_fn(True)
-    f_hoist = make_fn(False)
     int(f_vary())  # compile
-    int(f_hoist())
-    ovh = min(_t(f_hoist) for _ in range(reps))
+    ovh = min(_null_dispatch() for _ in range(reps))
     t = min(_t(f_vary) for _ in range(reps))
-    per = max(t - ovh, 1e-9) / k
-    print(f"{label}: {payload_bytes / 1e6 / per:8.1f} MB/s "
-          f"({per * 1e3:.1f} ms/pass, ovh {ovh:.2f}s)")
-    return payload_bytes / per
+    eff = max(t - ovh, 1e-9)
+    print(f"{label}: {payload_bytes / 1e6 / eff:8.1f} MB/s "
+          f"(t {t:.3f}s, dispatch {ovh:.3f}s, k={k})")
+    return payload_bytes / eff
 
 
 def _t(f):
@@ -83,7 +98,7 @@ def exp_baseline():
     comp = jnp.asarray(carr)
     clens = jnp.asarray(clens)
 
-    K = 8
+    K = 48
 
     def mk_dec(vary):
         @jax.jit
