@@ -387,6 +387,10 @@ struct ChainFinder {
         if (seed_len >= MINMATCH) {
             best = seed_len;
             *mpos = ip - seed_off;
+            // the carried match already satisfies the good-enough policy:
+            // searching further could only trade it for another >=
+            // sufficient match, which the policy treats as equivalent
+            if (best >= sufficient) return best;
         }
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
         if (lowest < floor_pos) lowest = floor_pos;
@@ -561,8 +565,16 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     const uint8_t* const iend = src + src_size;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = hc_attempts_for_level(level);
-    const int sufficient = level >= 12 ? 0x7FFFFFFF
+    // level 12 mirrors upstream's own optimal-parse policy (lz4hc.c:1861:
+    // sufficient_len is clamped to LZ4_OPT_NUM-1 = 4095 and longer matches
+    // are taken immediately) — an unbounded search is not what the
+    // reference's max level does either, and it degenerates on periodic
+    // data (full 65536-attempt chain walks at every position)
+    const int sufficient = level >= 12 ? 4095
                           : level >= 11 ? 768 : ChainFinder::SUFFICIENT_LEN;
+    // pure-inheritance skip threshold for pass 1 (see below): inside a
+    // carried match this long, skip the re-search entirely
+    const int skip_len = level >= 12 ? 4095 : 256;
 
     if (src_size == 0) {
         if (dst_cap < 1) return 0;
@@ -602,10 +614,17 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         int carry_len = 0, carry_off = 0;
         for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
-            if (carry_len > 64 && carry_off <= 8) {
+            if (carry_len > 64 && (carry_off <= 8 || carry_len >= skip_len)) {
                 // RLE-ish region (period <= 8): nothing longer can start
                 // mid-run, and a full search would count the whole run per
-                // candidate — keep the pure inheritance skip
+                // candidate — keep the pure inheritance skip.
+                // carry >= skip_len at ANY period: deep inside a long
+                // match a fresh search can only improve the last few
+                // positions before the region ends (re-search resumes once
+                // the carry drops below skip_len); without this, periodic
+                // data with period > 8 walks the full chain (65536
+                // attempts at L11-12) at EVERY position — 0.1 MB/s
+                // measured on period-37 data
                 cf.insert_upto(ip + 1);
                 mlen[i] = carry_len;
                 moff[i] = carry_off;
