@@ -389,6 +389,324 @@ def main():
         exp_dma_overhead()
     if "grid" in which:
         exp_grid()
+    if "loopcost" in which:
+        exp_loopcost()
+    if "smem" in which:
+        exp_smem_chains()
+    if "bytewide" in which:
+        exp_bytewide()
+
+
+
+
+def exp_loopcost():
+    """Settle the control-flow cost contradiction: while_loop iteration cost
+    as a function of body size and of INDEPENDENT work chains in the body.
+    If the per-iteration floor dominates, interleaving blocks in one loop
+    amortizes it."""
+
+    def mk_kernel(n_iter, n_chains, ops_per_chain):
+        def kern(x_ref, o_ref):
+            def cond(s):
+                return s[0] < n_iter
+
+            def body(s):
+                i = s[0]
+                accs = list(s[1:])
+                for c in range(n_chains):
+                    a = accs[c]
+                    for _ in range(ops_per_chain):
+                        a = (a * 5 + i) & 0x7FFFFFF
+                    accs[c] = a
+                return (i + 1, *accs)
+
+            init = (x_ref[0],) + tuple(
+                x_ref[c + 1] for c in range(n_chains))
+            out = jax.lax.while_loop(cond, body, init)
+            acc = out[1]
+            for c in range(1, n_chains):
+                acc = acc + out[c + 1]
+            o_ref[0] = acc
+        return kern
+
+    def run_case(n_iter, n_chains, ops_per_chain, reps=3):
+        kern = mk_kernel(n_iter, n_chains, ops_per_chain)
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((1,), I32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            )(x)
+
+        x = jnp.arange(1 + n_chains, dtype=I32)
+        int(f(x)[0])
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(f(x + r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # two-point slope to cancel dispatch overhead
+    for chains, ops in [(1, 1), (1, 8), (1, 32), (2, 8), (4, 8), (8, 8),
+                        (4, 32)]:
+        t_lo = run_case(1 << 14, chains, ops)
+        t_hi = run_case(1 << 17, chains, ops)
+        per_it = (t_hi - t_lo) / ((1 << 17) - (1 << 14))
+        total_ops = chains * ops
+        print(f"while_loop chains={chains} ops/chain={ops}: "
+              f"{per_it * 1e9:7.1f} ns/iter  "
+              f"({per_it * 1e9 / total_ops:5.2f} ns/op)")
+
+
+def exp_smem_chains():
+    """Dependent vs independent SMEM load chains inside one loop body."""
+
+    def mk_kernel(n_iter, n_chains, loads_per_chain, dependent):
+        def kern(x_ref, o_ref):
+            M = 4096
+
+            def cond(s):
+                return s[0] < n_iter
+
+            def body(s):
+                i = s[0]
+                accs = list(s[1:])
+                for c in range(n_chains):
+                    a = accs[c]
+                    for _ in range(loads_per_chain):
+                        if dependent:
+                            a = x_ref[(a + i) & (M - 1)]
+                        else:
+                            a = a + x_ref[(i + c * 7) & (M - 1)]
+                    accs[c] = a
+                return (i + 1, *accs)
+
+            init = (jnp.int32(0),) + tuple(
+                jnp.int32(c) for c in range(n_chains))
+            out = jax.lax.while_loop(cond, body, init)
+            acc = out[1]
+            for c in range(1, n_chains):
+                acc = acc + out[c + 1]
+            o_ref[0] = acc
+        return kern
+
+    def run_case(n_iter, n_chains, loads, dependent, reps=3):
+        kern = mk_kernel(n_iter, n_chains, loads, dependent)
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((1,), I32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            )(x)
+
+        x = jnp.arange(4096, dtype=I32) % 4096
+        int(f(x)[0])
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(f(x)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    for chains, loads, dep in [(1, 4, True), (1, 4, False), (2, 4, True),
+                               (4, 4, True), (8, 4, True), (4, 4, False)]:
+        t_lo = run_case(1 << 13, chains, loads, dep)
+        t_hi = run_case(1 << 16, chains, loads, dep)
+        per_it = (t_hi - t_lo) / ((1 << 16) - (1 << 13))
+        total = chains * loads
+        print(f"smem chains={chains} loads/chain={loads} dep={int(dep)}: "
+              f"{per_it * 1e9:7.1f} ns/iter ({per_it * 1e9 / total:5.2f} "
+              f"ns/load)")
+
+def _decode_bytewide_kernel(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
+    """Byte-wide layout prototype: one byte per int32 element in SMEM.
+    Byte loads/stores are 1 op (no shift/mask RMW), match copies are
+    branchless on offset (byte-serial handles overlap naturally)."""
+    C = c_ref.shape[0]
+    N = o_ref.shape[0]
+    clen = clen_ref[0]
+
+    def read_varint(ip, base):
+        def vcond(s):
+            _, _, last = s
+            return last == 255
+
+        def vbody(s):
+            total, p, _ = s
+            b = c_ref[jnp.minimum(p, C - 1)]
+            return total + b, p + 1, b
+
+        total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
+        return total, p
+
+    def cond(state):
+        return jnp.logical_not(state[3])
+
+    def body(state):
+        ip, op, ok, _ = state
+        bad = ip >= clen
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        ip = ip + 1
+        lit_len = token >> 4
+
+        def lit_ext():
+            e0 = c_ref[jnp.minimum(ip, C - 1)]
+            return jax.lax.cond(
+                e0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + e0, ip + 1))
+
+        lit_len, ip = jax.lax.cond(lit_len == 15, lit_ext,
+                                   lambda: (lit_len, ip))
+        bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
+        lit_n = jnp.where(bad, 0, lit_len)
+
+        # wild 4x-unrolled literal copy (slack: pads overwritten later)
+        wild_ok = (op + lit_n + 4 <= N) & (ip + lit_n + 4 <= C)
+
+        def lit_wild():
+            def wbody(t, _):
+                s = ip + t * 4
+                d = op + t * 4
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                return 0
+            jax.lax.fori_loop(0, (lit_n + 3) >> 2, wbody, 0)
+
+        def lit_safe():
+            def bbody(i, _):
+                o_ref[jnp.minimum(op + i, N - 1)] = \
+                    c_ref[jnp.minimum(ip + i, C - 1)]
+                return 0
+            jax.lax.fori_loop(0, lit_n, bbody, 0)
+
+        jax.lax.cond(wild_ok, lit_wild, lit_safe)
+        ip = ip + lit_len
+        op = op + lit_len
+        done = (ip >= clen) | bad
+
+        def do_match(ip, op, bad):
+            off = c_ref[jnp.minimum(ip, C - 1)] | \
+                (c_ref[jnp.minimum(ip + 1, C - 1)] << 8)
+            ip = ip + 2
+            bad = bad | (ip > clen) | (off == 0)
+            mlen = token & 15
+
+            def m_ext():
+                e0 = c_ref[jnp.minimum(ip, C - 1)]
+                return jax.lax.cond(
+                    e0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + e0, ip + 1))
+
+            mlen, ip = jax.lax.cond(mlen == 15, m_ext, lambda: (mlen, ip))
+            mlen = mlen + 4
+            bad = bad | (op + mlen > N) | (off > op)
+            m_n = jnp.where(bad, 0, mlen)
+            src = op - off
+            # off >= 4: wild 4x unroll is overlap-safe (reads trail writes
+            # by >= 4). off < 4: byte-serial (handles overlap naturally).
+            wild = (off >= 4) & (op + m_n + 4 <= N)
+
+            def m_wild():
+                def wbody(t, _):
+                    s = src + t * 4
+                    d = op + t * 4
+                    o_ref[d] = o_ref[s]
+                    o_ref[d + 1] = o_ref[s + 1]
+                    o_ref[d + 2] = o_ref[s + 2]
+                    o_ref[d + 3] = o_ref[s + 3]
+                    return 0
+                jax.lax.fori_loop(0, (m_n + 3) >> 2, wbody, 0)
+
+            def m_serial():
+                def bbody(i, _):
+                    o_ref[jnp.minimum(op + i, N - 1)] = \
+                        o_ref[jnp.minimum(jnp.maximum(src + i, 0), N - 1)]
+                    return 0
+                jax.lax.fori_loop(0, m_n, bbody, 0)
+
+            jax.lax.cond(wild, m_wild, m_serial)
+            return ip, op + m_n, bad
+
+        ip, op, bad = jax.lax.cond(
+            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
+        return ip, op, ok & jnp.logical_not(bad), done | bad
+
+    ip, op, ok, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
+    ok = ok & (ip == clen)
+    n_out_ref[0] = op
+    ok_ref[0] = ok.astype(I32)
+
+
+def exp_bytewide():
+    """Byte-wide decode prototype vs the packed-word production kernel."""
+    from plz4_tpu.ops import decode_pallas
+
+    blocks = corpus_blocks()
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 24
+    carr = np.zeros((B, C), np.uint8)
+    clens = np.zeros((B,), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+
+    @jax.jit
+    def dec_one(c_u8, clen):
+        c = c_u8.astype(I32)
+        return pl.pallas_call(
+            _decode_bytewide_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((BLOCK,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+        )(c, jnp.reshape(clen, (1,)))
+
+    # correctness first
+    o, n, ok = dec_one(jnp.asarray(carr[0]), jnp.int32(clens[0]))
+    out = np.asarray(o[: int(n[0])]).astype(np.uint8).tobytes()
+    assert int(ok[0]) == 1 and out == blocks[0], "bytewide decode mismatch"
+    print("bytewide decode: correct on block 0")
+
+    comp = jnp.asarray(carr)
+    cl = jnp.asarray(clens)
+    K = 48
+
+    def mk(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                c = comp.at[:, -1].set((i & 255).astype(jnp.uint8)) \
+                    if vary else comp
+
+                def one(args):
+                    w, l = args
+                    _, n, _ = dec_one(w, l)
+                    return n[0]
+
+                ns = jax.lax.map(one, (c, cl))
+                return acc + jnp.sum(ns)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    timed_kloop(mk, K, B * BLOCK * K, "bytewide decode (16x64K)")
 
 
 if __name__ == "__main__":
