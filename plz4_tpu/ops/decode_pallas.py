@@ -62,40 +62,51 @@ def _make_copy_helpers(ow_ref):
 
     def copy_funnel(ref, RefW, src, dst, n):
         """Copy n bytes from byte position `src` of `ref` to byte position
-        `dst` of the output (funnel carries across iterations; the
-        trailing spill word may wild-write up to 4 bytes past dst+n —
-        callers guarantee slack and that later writes overwrite the
-        overshoot). For in-output sources the caller must guarantee
-        src + 8 <= dst (the funnel reads one source word ahead of the
-        write cursor)."""
-        s_idx = src >> 2
-        s_sh = (src & 3) * 8
+        `dst` of the output, dst-word-aligned: output full words are
+        produced directly with ONE net source shift (the composition of
+        the src-unalign and dst-align shifts), so the steady state is
+        1 load + 4 shifts/ors + 1 store per 4 bytes. The last word may
+        wild-write up to 3 bytes past dst+n (callers guarantee later
+        writes overwrite the overshoot).
+
+        Source-side bounds: reads words k0..k0+W where the last read ends
+        <= src+n+7 bytes — callers guarantee 8 bytes of tail slack. For
+        in-output sources (matches) the caller must guarantee
+        src + 4 <= dst: then every word this funnel reads was stored on an
+        earlier iteration (read index trails the write index by >= 1 word;
+        at exactly src+4 the high word of the funnel is unused because the
+        net shift is 0)."""
         d_idx = dst >> 2
         d_sh = (dst & 3) * 8
-        nw = (n + 3) >> 2
+        # net shift: output word D holds source bytes delta + 4D + b,
+        # so the in-word byte offset r is constant across words
+        a = ((src - dst) & 3) * 8
+        # first source word: sits one below 0 when src < dst&3. Only the
+        # lo READ is clamped (its bytes all map to masked output positions
+        # below dst in that case); clamping k0 itself would shift the
+        # whole read window by a word and corrupt the unmasked bytes.
+        k0 = (src - (dst & 3)) >> 2
+        W = ((dst & 3) + n + 3) >> 2
 
         def sfun(lo, hi):
-            # lo >>> s_sh | hi << (32 - s_sh); double-shifts keep the
-            # s_sh == 0 case branchless (hi << 32 becomes 0, not UB)
-            return _SRL(lo, s_sh) | ((hi << 1) << (31 - s_sh))
+            # lo >>> a | hi << (32 - a); double-shifts keep the a == 0
+            # case branchless (hi << 32 becomes 0, not UB)
+            return _SRL(lo, a) | ((hi << 1) << (31 - a))
 
-        s_lo = ref[s_idx]
-        s_hi = ref[jnp.minimum(s_idx + 1, RefW - 1)]
-        v0 = sfun(s_lo, s_hi)
-        d_lo = ow_ref[d_idx]
-        ow_ref[d_idx] = (d_lo & ((1 << d_sh) - 1)) | (v0 << d_sh)
+        w_lo = ref[jnp.maximum(k0, 0)]
+        w_hi = ref[k0 + 1]
+        v0 = sfun(w_lo, w_hi)
+        d0 = ow_ref[d_idx]
+        keep = (1 << d_sh) - 1
+        ow_ref[d_idx] = (d0 & keep) | (v0 & ~keep)
 
         def wbody(t, carry):
-            s_prev, v_prev = carry
-            s_nxt = ref[jnp.minimum(s_idx + t + 1, RefW - 1)]
-            v = sfun(s_prev, s_nxt)
-            ow_ref[d_idx + t] = _SRL(_SRL(v_prev, 1), 31 - d_sh) | (v << d_sh)
-            return s_nxt, v
+            w_prev = carry
+            w_nxt = ref[k0 + t + 1]
+            ow_ref[d_idx + t] = sfun(w_prev, w_nxt)
+            return w_nxt
 
-        _, v_last = jax.lax.fori_loop(1, nw, wbody, (s_hi, v0))
-        # spill the final carry (wild: garbage high bytes land beyond the
-        # copy and are overwritten by subsequent output)
-        ow_ref[d_idx + nw] = _SRL(_SRL(v_last, 1), 31 - d_sh)
+        jax.lax.fori_loop(1, W, wbody, w_hi)
 
     def fill_rot(dst, n, v):
         """Fill n bytes at dst with the 4-byte pattern v (already aligned
