@@ -596,6 +596,245 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     return unpack_words(ow), n_out[0], ok[0] != 0
 
 
+def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
+    """Byte-wide decode: one byte per int32 SMEM element, so byte
+    loads/stores are single ops with no shift/mask RMW, and — measured on
+    chip (tools/tpu_kernel_lab.py addrfold) — constant offsets from one
+    dynamic base fold into the memory op (~1.1 ns per load/store), while
+    incremental cursors and re-associated bases cost 2-5x.
+
+    Two regimes in one sequence loop:
+      * fast (ip/op well inside the stream, token has no length
+        extensions): straight-line parse + 8-wide wild const-offset
+        copies, no per-byte bounds checks — the structural gate plus the
+        <=14/<=18 length caps bound every access;
+      * careful (near either end, or extended lengths): byte-serial with
+        clipped accesses and exact bounds — the round-1 logic.
+
+    Output carries 16 slack elements: the fast gate keeps wild writes
+    under the logical capacity, clipped careful stores land in the slack.
+    (Reference analog of the regime split: LZ4_decompress_generic's
+    shortcut + safe tail, clz4/lz4.c:2016.)"""
+    C = c_ref.shape[0]
+    NT = o_ref.shape[0]
+    Nl = NT - 16
+    clen = clen_ref[0]
+
+    def read_varint(ip, base):
+        def vc(s):
+            return s[2] == 255
+
+        def vb(s):
+            t, p, _ = s
+            b = c_ref[jnp.minimum(p, C - 1)]
+            return t + b, p + 1, b
+
+        t, p, _ = jax.lax.while_loop(vc, vb, (base, ip, jnp.int32(255)))
+        return t, p
+
+    def careful_seq(ip, op, ok):
+        """Full-checks sequence step; returns (ip, op, ok, done) i32s."""
+        bad = ip >= clen
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        ip = ip + 1
+        lit = token >> 4
+
+        def lit_ext():
+            e0 = c_ref[jnp.minimum(ip, C - 1)]
+            return jax.lax.cond(
+                e0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + e0, ip + 1))
+
+        lit, ip = jax.lax.cond(lit == 15, lit_ext, lambda: (lit, ip))
+        bad = bad | (ip + lit > clen) | (op + lit > Nl)
+        lit_n = jnp.where(bad, 0, lit)
+
+        # 8-wide when the input has tail slack for the wild read (output
+        # slack is structural: op + lit_n <= Nl and NT = Nl + 16)
+        def l_fast():
+            def lb(t, _):
+                s = ip + t * 8
+                d = op + t * 8
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+                return 0
+
+            jax.lax.fori_loop(0, (lit_n + 7) >> 3, lb, 0)
+
+        def l_serial():
+            def lcopy(i, _):
+                o_ref[jnp.minimum(op + i, NT - 1)] = \
+                    c_ref[jnp.minimum(ip + i, C - 1)]
+                return 0
+
+            jax.lax.fori_loop(0, lit_n, lcopy, 0)
+
+        jax.lax.cond(ip + lit_n + 8 <= C, l_fast, l_serial)
+        ip = ip + lit_n
+        op = op + lit_n
+        fin = (ip >= clen) | bad
+
+        def do_match(ip, op, bad):
+            off = c_ref[jnp.minimum(ip, C - 1)] | \
+                (c_ref[jnp.minimum(ip + 1, C - 1)] << 8)
+            ip = ip + 2
+            bad = bad | (ip > clen) | (off == 0)
+            mlr = token & 15
+
+            def m_ext():
+                e0 = c_ref[jnp.minimum(ip, C - 1)]
+                return jax.lax.cond(
+                    e0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + e0, ip + 1))
+
+            ml, ip = jax.lax.cond(mlr == 15, m_ext, lambda: (mlr, ip))
+            ml = ml + 4
+            bad = bad | (op + ml > Nl) | (off > op)
+            m_n = jnp.where(bad, 0, ml)
+
+            # 8-wide with branchless offset widening (same scheme as the
+            # fast path; RLE streams always land here via the length
+            # extension). Needs op >= 8 for the widened-group reads.
+            def m_fast():
+                eff = jnp.where(bad, jnp.int32(8), off)
+                off2 = eff * jnp.where(
+                    eff >= 8, 1,
+                    jnp.where(eff >= 4, 2,
+                              jnp.where(eff == 3, 3,
+                                        jnp.where(eff == 2, 4, 8))))
+                src = op - eff
+                for k in range(8):
+                    o_ref[op + k] = o_ref[src + k]
+                s2 = op - off2
+
+                def gb(t, _):
+                    s = s2 + t * 8
+                    d = op + t * 8
+                    o_ref[d] = o_ref[s]
+                    o_ref[d + 1] = o_ref[s + 1]
+                    o_ref[d + 2] = o_ref[s + 2]
+                    o_ref[d + 3] = o_ref[s + 3]
+                    o_ref[d + 4] = o_ref[s + 4]
+                    o_ref[d + 5] = o_ref[s + 5]
+                    o_ref[d + 6] = o_ref[s + 6]
+                    o_ref[d + 7] = o_ref[s + 7]
+                    return 0
+
+                jax.lax.fori_loop(
+                    1, 1 + ((jnp.maximum(m_n - 8, 0) + 7) >> 3), gb, 0)
+
+            def m_serial():
+                def mcopy(i, _):
+                    d = op + i
+                    o_ref[jnp.minimum(d, NT - 1)] = \
+                        o_ref[jnp.minimum(jnp.maximum(d - off, 0), NT - 1)]
+                    return 0
+
+                jax.lax.fori_loop(0, m_n, mcopy, 0)
+
+            jax.lax.cond((off >= 8) | (op >= 16), m_fast, m_serial)
+            return ip, op + m_n, bad
+
+        ip, op, bad = jax.lax.cond(
+            fin, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
+        # ok/done carried as i32: Mosaic rejects i1 in cond result tuples
+        return (ip, op, ((ok != 0) & jnp.logical_not(bad)).astype(I32),
+                (fin | bad).astype(I32))
+
+    def body(state):
+        ip, op, ok, _ = state
+        # ONE branch per sequence: cond + dynamic-trip fori machinery cost
+        # ~15-40 ns EACH on this core (tools/tpu_kernel_lab.py condcost),
+        # an order of magnitude above the round-1 estimate — so the fast
+        # path is fully straight-line: lengths are capped by the gate
+        # (lit <= 14, match <= 18), every copy is a fixed set of 8-wide
+        # constant-offset groups, and sub-8 match offsets are widened to a
+        # period multiple off2 >= 8 branchlessly instead of special-cased.
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        lit = token >> 4
+        mlr = token & 15
+        mp = ip + 1 + lit
+        fast_gate = ((ip + 20 <= clen) & (op + 48 <= Nl) & (op >= 16)
+                     & (lit != 15) & (mlr != 15) & (mp + 2 <= clen))
+
+        def fast_seq():
+            s0 = ip + 1
+            # literals: 2 straight 8-wide groups cover lit <= 14 (wild
+            # past op+lit; overwritten by the match / later sequences)
+            for g in (0, 1):
+                s = s0 + g * 8 if g else s0
+                d = op + g * 8 if g else op
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+            opl = op + lit
+            off = c_ref[mp] | (c_ref[mp + 1] << 8)
+            ml = mlr + 4
+            bad = (off == 0) | (off > opl)
+            # widen the offset to its smallest multiple >= 8 (same
+            # repeating pattern, and off2 - off <= 8 keeps every group
+            # read inside the already-materialized pattern):
+            # 1->8, 2->8, 3->9, 4..7 -> 8..14, >=8 unchanged
+            off2 = off * jnp.where(
+                off >= 8, 1,
+                jnp.where(off >= 4, 2,
+                          jnp.where(off == 3, 3,
+                                    jnp.where(off == 2, 4, 8))))
+            src = opl - jnp.where(bad, jnp.int32(8), off)
+            # serial 8-byte prologue handles any off >= 1 (in-order RMW)
+            for k in range(8):
+                o_ref[opl + k] = o_ref[src + k]
+            # two more 8-wide groups (match <= 18) read at distance off2:
+            # every source byte was written by the prologue/group above
+            s2 = opl - jnp.where(bad, jnp.int32(8), off2)
+            for g in (1, 2):
+                s = s2 + g * 8
+                d = opl + g * 8
+                o_ref[d] = o_ref[s]
+                o_ref[d + 1] = o_ref[s + 1]
+                o_ref[d + 2] = o_ref[s + 2]
+                o_ref[d + 3] = o_ref[s + 3]
+                o_ref[d + 4] = o_ref[s + 4]
+                o_ref[d + 5] = o_ref[s + 5]
+                o_ref[d + 6] = o_ref[s + 6]
+                o_ref[d + 7] = o_ref[s + 7]
+            m_n = jnp.where(bad, 0, ml)
+            return (mp + 2, opl + m_n,
+                    ((ok != 0) & jnp.logical_not(bad)).astype(I32),
+                    bad.astype(I32))
+
+        ip, op, ok2, done = jax.lax.cond(
+            fast_gate, fast_seq, lambda: careful_seq(ip, op, ok))
+        return ip, op, ok2, done
+
+    ip, op, ok, _ = jax.lax.while_loop(
+        lambda s: s[3] == 0, body,
+        (jnp.int32(0), jnp.int32(0), (clen > 0).astype(I32),
+         (clen <= 0).astype(I32)))
+    ok = (ok != 0) & (ip == clen)
+    n_out_ref[0] = op
+    ok_ref[0] = ok.astype(I32)
+
+
+# byte-wide SMEM spends 4 bytes per byte: cap it where in+out stay within
+# the measured-good SMEM range (384 KiB per operand, tools/tpu_kernel_lab.py);
+# frame block sizes jump 64 KiB -> 256 KiB so this covers the same blocks
+_BW_MAX_OUT = 96 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
 def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
                         interpret: bool = False):
@@ -603,9 +842,33 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
 
     comp: (C,) uint8 zero-padded, C % 4 == 0; clen: scalar int32.
     Returns (out (out_cap,) uint8, n_out, ok). out_cap % 4 == 0.
+
+    Blocks up to 128 KiB decode with the byte-wide kernel (fast); larger
+    blocks use the packed-word kernel (4x less SMEM).
     """
     C = comp.shape[0]
     assert C % 4 == 0 and out_cap % 4 == 0
+    if out_cap <= _BW_MAX_OUT:
+        cb = comp.astype(I32)
+        ob, n_out, ok = pl.pallas_call(
+            _decode_kernel_bw,
+            out_shape=(
+                jax.ShapeDtypeStruct((out_cap + 16,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )(cb, jnp.reshape(clen.astype(I32), (1,)))
+        return ob[:out_cap].astype(jnp.uint8), n_out[0], ok[0] != 0
     # tail slack so unaligned word reads near clen never hit the clip guard
     comp = jnp.concatenate([comp, jnp.zeros((8,), dtype=comp.dtype)])
     cw = pack_words(comp)

@@ -393,6 +393,314 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
     ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
 
 
+def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
+                      tab2_ref, mid: bool = False):
+    """Byte-wide encode: one byte per int32 SMEM element. Byte loads are
+    single ops and constant offsets from one dynamic base fold into the
+    memory op (measured: tools/tpu_kernel_lab.py addrfold), so the hash
+    scan carries the current 4-byte word across positions (shift-in one
+    fresh byte instead of an unaligned funnel read) and literal emits are
+    8-wide wild copies. Same stream semantics as _encode_kernel
+    (greedy / mid, window prefix, incompressible flag)."""
+    DT = c_ref.shape[0]
+    OT = o_ref.shape[0]
+    n = n_ref[0]
+    base = n_ref[1]
+    first = n_ref[2]
+    end = base + n
+
+    HL = MID_HASH_LOG if mid else HASH_LOG
+
+    def hash4(u32):
+        return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HL)
+
+    def rd_u32(p):
+        return (c_ref[p] | (c_ref[p + 1] << 8) | (c_ref[p + 2] << 16)
+                | (c_ref[p + 3] << 24))
+
+    def rd_u32_clip(p):
+        p = jnp.minimum(p, DT - 4)
+        return rd_u32(p)
+
+    # ---- zero tables (8-wide: stores with folded constant offsets) ------
+    def tinit(t, _):
+        b = t * 8
+        for k in range(8):
+            tab_ref[b + k] = 0
+            tab2_ref[b + k] = 0
+        return 0
+
+    jax.lax.fori_loop(0, (1 << HL) // 8, tinit, 0)
+
+    # ---- window preload (reference: LZ4_loadDict analog) ----------------
+    def wload(p, _):
+        u = rd_u32(p)
+        h = hash4(u)
+        if mid:
+            tab2_ref[h] = tab_ref[h]
+        else:
+            tab2_ref[h] = u
+        tab_ref[h] = p + 1
+        return 0
+
+    jax.lax.fori_loop(first, base, wload, 0)
+
+    mflimit = end - 12
+    matchlimit = end - 5
+    out_limit = OT - 16
+
+    def emit_len_ext(pos, value):
+        def c(s):
+            v, _ = s
+            return v >= 255
+
+        def b(s):
+            v, p = s
+            o_ref[p] = 255
+            return v - 255, p + 1
+
+        v, p = jax.lax.while_loop(c, b, (value, pos))
+        o_ref[p] = v
+        return p + 1
+
+    def emit_sequence(op, anchor, ip, mpos, mlen):
+        """Emit literals [anchor, ip) + match; mlen == 0 => final literals.
+        All stores are wild/unclipped: the room guard reserves the whole
+        sequence (worst-case extension bytes included) or skips the emit
+        and forces the overflow path."""
+        lit = ip - anchor
+        room = op + lit + (lit >> 8) + (mlen >> 8) + 32 <= OT
+
+        def do_emit():
+            tok_pos = op
+            o = op + 1
+            o = jax.lax.cond(
+                lit >= 15, lambda: emit_len_ext(o, lit - 15), lambda: o)
+
+            def lbody(t, _):
+                s = anchor + t * 8
+                d = o + t * 8
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+                return 0
+
+            jax.lax.fori_loop(0, (lit + 7) >> 3, lbody, 0)
+            o = o + lit
+
+            def with_match():
+                off = ip - mpos
+                o_ref[o] = off & 255
+                o_ref[o + 1] = off >> 8
+                o2 = o + 2
+                mv = mlen - 4
+                o3 = jax.lax.cond(
+                    mv >= 15, lambda: emit_len_ext(o2, mv - 15),
+                    lambda: o2)
+                o_ref[tok_pos] = (jnp.minimum(lit, 15) << 4) \
+                    | jnp.minimum(mv, 15)
+                return o3
+
+            def literals_only():
+                o_ref[tok_pos] = jnp.minimum(lit, 15) << 4
+                return o
+
+            return jax.lax.cond(mlen > 0, with_match, literals_only)
+
+        # no room: jump past out_limit so the caller latches overflow
+        return jax.lax.cond(room, do_emit, lambda: jnp.int32(OT))
+
+    # ---- main scan ------------------------------------------------------
+    def cond(state):
+        ip, _, op, overflow, _ = state
+        return (ip <= mflimit) & (overflow == 0)
+
+    def body(state):
+        ip, anchor, op, overflow, u0 = state
+
+        if mid:
+            def s_cond(s):
+                sip, _, found, cpos, _ = s
+                return (found == 0) & (sip <= mflimit)
+
+            def s_body(s):
+                sip, cnt, _, _, u = s
+                h = hash4(u)
+                candA = tab_ref[h] - 1
+                candB = tab2_ref[h] - 1
+                tab2_ref[h] = candA + 1
+                tab_ref[h] = sip + 1
+
+                def valid(c):
+                    return ((c >= first) & (c < sip)
+                            & (sip - c <= MAX_DISTANCE)
+                            & (rd_u32_clip(c) == u))
+
+                goodA = valid(candA)
+                goodB = valid(candB)
+
+                def quick_len(c):
+                    e1 = (rd_u32_clip(c + 4) == rd_u32_clip(sip + 4))
+                    e2 = (e1 & (rd_u32_clip(c + 8) == rd_u32_clip(sip + 8)))
+                    return e1.astype(I32) + e2.astype(I32)
+
+                la = jnp.where(goodA, 1 + quick_len(candA), 0)
+                lb = jnp.where(goodB, 1 + quick_len(candB), 0)
+                cand = jnp.where(lb > la, candB, candA)
+                good = goodA | goodB
+                nsip = jnp.where(good, sip, sip + 1)
+                u2 = jax.lax.cond(
+                    good, lambda: u,
+                    lambda: jax.lax.shift_right_logical(u, 8)
+                    | (c_ref[jnp.minimum(nsip + 3, DT - 1)] << 24))
+                return (nsip, cnt + 1, good.astype(I32), cand, u2)
+
+            sip, _, found, cand, _ = jax.lax.while_loop(
+                s_cond, s_body,
+                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0), u0))
+        else:
+            def s_cond(s):
+                sip, _, found, cpos, _ = s
+                return (found == 0) & (sip <= mflimit)
+
+            def s_body(s):
+                sip, cnt, _, _, u = s
+                h = hash4(u)
+                cand = tab_ref[h] - 1
+                cval = tab2_ref[h]
+                tab_ref[h] = sip + 1
+                tab2_ref[h] = u
+                good = ((cand >= first) & (sip - cand <= MAX_DISTANCE)
+                        & (cval == u))
+                step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
+                adv = jnp.where(good, 0, 1 + step)
+                nsip = sip + adv
+                # common path: advance by 1 -> shift one fresh byte into
+                # the carried word; acceleration jumps reread (clipped)
+                u2 = jax.lax.cond(
+                    adv == 1,
+                    lambda: jax.lax.shift_right_logical(u, 8)
+                    | (c_ref[jnp.minimum(nsip + 3, DT - 1)] << 24),
+                    lambda: rd_u32_clip(nsip))
+                return (nsip, cnt + 1, good.astype(I32), cand, u2)
+
+            sip, _, found, cand, _ = jax.lax.while_loop(
+                s_cond, s_body,
+                (ip, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 rd_u32_clip(ip)))
+
+        def no_match():
+            return sip, anchor, op, jnp.int32(0)
+
+        def with_match():
+            mip = sip
+            mpos = cand
+
+            def b_cond(s):
+                a, b_, _ = s
+                return ((a > anchor) & (b_ > first)
+                        & (c_ref[a - 1] == c_ref[b_ - 1]))
+
+            def b_body(s):
+                a, b_, l = s
+                return a - 1, b_ - 1, l + 1
+
+            mip, mpos, back = jax.lax.while_loop(
+                b_cond, b_body, (mip, mpos, jnp.int32(0)))
+
+            # forward extension, 2 bytes per iteration (byte loads are
+            # 1 op; resolution by partial-prefix sum)
+            def f_cond(s):
+                _, act = s
+                return act != 0
+
+            def f_body(s):
+                l, _ = s
+                r0 = mip + l < matchlimit
+                e0 = r0 & (c_ref[mip + l] == c_ref[mpos + l])
+                r1 = mip + l + 1 < matchlimit
+                e1 = e0 & r1 & (c_ref[mip + l + 1] == c_ref[mpos + l + 1])
+                return (l + e0.astype(I32) + e1.astype(I32),
+                        e1.astype(I32))
+
+            mlen, _ = jax.lax.while_loop(
+                f_cond, f_body, (jnp.int32(4) + back, jnp.int32(1)))
+
+            op2 = emit_sequence(op, anchor, mip, mpos, mlen)
+            nip = mip + mlen
+            u2 = rd_u32_clip(nip - 2)
+            h2 = hash4(u2)
+            if mid:
+                tab2_ref[h2] = tab_ref[h2]
+            else:
+                tab2_ref[h2] = u2
+            tab_ref[h2] = nip - 2 + 1
+            return nip, nip, op2, (op2 > out_limit).astype(I32)
+
+        ip, anchor, op, overflow = jax.lax.cond(found != 0, with_match,
+                                                no_match)
+        return ip, anchor, op, overflow, rd_u32_clip(ip)
+
+    ip0 = base
+    state = (ip0, ip0, jnp.int32(0), (n < 0).astype(I32), rd_u32_clip(ip0))
+    state = jax.lax.while_loop(cond, body, state)
+    _, anchor, op, overflow, _ = state
+
+    def final_ok():
+        return emit_sequence(op, anchor, end, jnp.int32(0), jnp.int32(0))
+
+    op = jax.lax.cond(
+        (overflow != 0)
+        | (op + (end - anchor) + (end - anchor) // 255 + 16 > OT),
+        lambda: jnp.int32(OT),
+        final_ok)
+
+    total_ref[0] = op
+    ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
+
+
+# byte-wide encode: gate on total SMEM elements (input + output + tables)
+# staying inside the measured-good range (tools/tpu_kernel_lab.py)
+_BW_MAX_ELEMS = 230 * 1024
+
+
+def _bw_fits(n_in: int, cap: int, mid: bool) -> bool:
+    tables = 2 * (1 << (MID_HASH_LOG if mid else HASH_LOG))
+    return n_in + cap + tables <= _BW_MAX_ELEMS
+
+
+def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
+                    interpret: bool):
+    """Shared pallas_call for the byte-wide encode kernel."""
+    HL = MID_HASH_LOG if mid else HASH_LOG
+    ob, total, ok = pl.pallas_call(
+        functools.partial(_encode_kernel_bw, mid=mid),
+        out_shape=(
+            jax.ShapeDtypeStruct((cap,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << HL,), I32),
+                        pltpu.SMEM((1 << HL,), I32)],
+        interpret=interpret,
+    )(combined_u8.astype(I32), meta)
+    return ob.astype(jnp.uint8), total[0], ok[0] != 0
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
                         interpret: bool = False):
@@ -408,8 +716,11 @@ def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
     # 8 bytes of tail slack so unaligned word reads near n never hit the
     # clip guard
     data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
-    dw = pack_words(data)
     meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
+    if _bw_fits(N + 8, CAP, mid=False):
+        return _encode_call_bw(data, meta, CAP, mid=False,
+                               interpret=interpret)
+    dw = pack_words(data)
     ow, total, ok = pl.pallas_call(
         _encode_kernel,
         out_shape=(
@@ -451,9 +762,12 @@ def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
     CAP = (N + N // 255 + 64 + 3) & ~3
     combined = jnp.concatenate(
         [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
-    dw = pack_words(combined)
     meta = jnp.stack([n.astype(I32), jnp.int32(D),
                       jnp.int32(D) - dlen.astype(I32)])
+    if _bw_fits(D + N + 8, CAP, mid=False):
+        return _encode_call_bw(combined, meta, CAP, mid=False,
+                               interpret=interpret)
+    dw = pack_words(combined)
     ow, total, ok = pl.pallas_call(
         _encode_kernel,
         out_shape=(
@@ -503,8 +817,11 @@ def encode_block_pallas_mid(data: jnp.ndarray, n: jnp.ndarray,
     assert N % 4 == 0
     CAP = (N + N // 255 + 64 + 3) & ~3
     data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
-    dw = pack_words(data)
     meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
+    if _bw_fits(N + 8, CAP, mid=True):
+        return _encode_call_bw(data, meta, CAP, mid=True,
+                               interpret=interpret)
+    dw = pack_words(data)
     ow, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel, mid=True),
         out_shape=(
@@ -539,9 +856,12 @@ def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
     CAP = (N + N // 255 + 64 + 3) & ~3
     combined = jnp.concatenate(
         [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
-    dw = pack_words(combined)
     meta = jnp.stack([n.astype(I32), jnp.int32(D),
                       jnp.int32(D) - dlen.astype(I32)])
+    if _bw_fits(D + N + 8, CAP, mid=True):
+        return _encode_call_bw(combined, meta, CAP, mid=True,
+                               interpret=interpret)
+    dw = pack_words(combined)
     ow, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel, mid=True),
         out_shape=(

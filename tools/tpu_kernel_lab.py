@@ -83,6 +83,196 @@ def _t(f):
     return time.perf_counter() - t0
 
 
+def exp_addrfold():
+    """Does a constant-offset SMEM access (ref[d + k]) cost an ALU add, or
+    does Mosaic fold it into the memory op? Compare an 8-wide copy loop
+    with constant offsets vs one whole-loop-carried incremental cursor,
+    and measure the raw cost of an 8-byte byte-wide copy step."""
+
+    M = 8192
+
+    def mk_kernel(n_iter, kind):
+        def kern(x_ref, o_ref):
+            def cond(s):
+                return s[0] < n_iter
+
+            def body(s):
+                i, d = s
+                # source/dest base cycle through a small region
+                b = d & (M - 1 - 16)
+                if kind == "const8":
+                    for k in range(8):
+                        o_ref[b + k] = x_ref[b + k]
+                elif kind == "incr8":
+                    # explicit serial increments (defeats folding)
+                    p = b
+                    for k in range(8):
+                        o_ref[p] = x_ref[p]
+                        p = p + 1
+                elif kind == "mul4":
+                    # 2 iterations of the 4x pattern used by prod kernels
+                    for t in range(2):
+                        sb = b + t * 4
+                        for k in range(4):
+                            o_ref[sb + k] = x_ref[sb + k]
+                return i + 1, d + 13
+            out = jax.lax.while_loop(cond, body, (jnp.int32(0), x_ref[0]))
+            o_ref[0] = out[1]
+        return kern
+
+    def run_case(n_iter, kind, reps=3):
+        kern = mk_kernel(n_iter, kind)
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((M,), I32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            )(x)
+
+        x = jnp.arange(M, dtype=I32) % 251
+        int(f(x)[0])
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            int(f(x + r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    for kind in ("const8", "incr8", "mul4"):
+        t_lo = run_case(1 << 14, kind)
+        t_hi = run_case(1 << 17, kind)
+        per_it = (t_hi - t_lo) / ((1 << 17) - (1 << 14))
+        print(f"copy8 {kind}: {per_it * 1e9:6.1f} ns/iter "
+              f"({per_it * 1e9 / 8:5.2f} ns/byte)")
+
+
+def exp_condcost():
+    """Real cost of lax.cond and dynamic-trip fori_loop inside a kernel
+    loop — round-1 notes claimed ~2.4 ns/cond; the decode kernel's
+    per-sequence cost suggests branch machinery is ~10x that."""
+
+    def mk_kernel(n_iter, n_conds, n_loops, trip):
+        def kern(x_ref, o_ref):
+            def cond(s):
+                return s[0] < n_iter
+
+            def body(s):
+                i, a = s
+                for c in range(n_conds):
+                    a = jax.lax.cond(
+                        (a & 1) == 0, lambda: a + i, lambda: a - i)
+                for l in range(n_loops):
+                    t = (a & 3) + trip  # dynamic trip count
+
+                    def lb(k, acc):
+                        return acc + k
+
+                    a = a + jax.lax.fori_loop(0, t, lb, jnp.int32(0))
+                return i + 1, a & 0x7FFFFFF
+            out = jax.lax.while_loop(cond, body, (jnp.int32(0), x_ref[0]))
+            o_ref[0] = out[1]
+        return kern
+
+    def run_case(n_iter, n_conds, n_loops, trip, reps=3):
+        kern = mk_kernel(n_iter, n_conds, n_loops, trip)
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((8,), I32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            )(x)
+
+        x = jnp.arange(8, dtype=I32)
+        int(f(x)[0])
+        return min(_t_first(f, x, r) for r in range(reps))
+
+    def _t_first(f, x, r):
+        t0 = time.perf_counter()
+        int(f(x + r)[0])
+        return time.perf_counter() - t0
+
+    base = {}
+    for conds, loops, trip in [(0, 0, 0), (4, 0, 0), (0, 4, 4)]:
+        t_lo = run_case(1 << 13, conds, loops, trip)
+        t_hi = run_case(1 << 16, conds, loops, trip)
+        per_it = (t_hi - t_lo) / ((1 << 16) - (1 << 13))
+        if (conds, loops, trip) == (0, 0, 0):
+            base["it"] = per_it
+        extra = per_it - base["it"]
+        n = max(conds + loops, 1)
+        print(f"cond/loop conds={conds} loops={loops} trip={trip}: "
+              f"{per_it * 1e9:7.1f} ns/iter (+{extra * 1e9:6.1f}, "
+              f"{extra * 1e9 / n:5.1f} ns each)")
+
+
+def exp_callcost():
+    """Per-call floor of the lax.map harness: no-op kernels with the same
+    operand shapes as the real decode, byte-wide vs packed — separates
+    pallas_call launch + SMEM operand staging from kernel compute."""
+    B_, C = B, BLOCK + 24
+
+    def nop_kern(c_ref, l_ref, o_ref, n_ref, k_ref):
+        n_ref[0] = l_ref[0]
+        k_ref[0] = c_ref[0]
+        o_ref[0] = jnp.int32(1)
+
+    def mk_case(label, in_elems, out_elems):
+        @jax.jit
+        def one(c, l):
+            return pl.pallas_call(
+                nop_kern,
+                out_shape=(
+                    jax.ShapeDtypeStruct((out_elems,), I32),
+                    jax.ShapeDtypeStruct((1,), I32),
+                    jax.ShapeDtypeStruct((1,), I32),
+                ),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                           pl.BlockSpec(memory_space=pltpu.SMEM),
+                           pl.BlockSpec(memory_space=pltpu.SMEM)),
+            )(c, l)
+
+        carr = jnp.zeros((B_, in_elems), I32)
+        lens = jnp.zeros((B_, 1), I32)
+        K = 48
+
+        def mk(vary):
+            @jax.jit
+            def f():
+                def body(i, acc):
+                    c = carr.at[:, -1].set(i) if vary else carr
+
+                    def o(args):
+                        w, l = args
+                        _, n, _ = o2 = one(w, l)
+                        return o2[1][0]
+
+                    ns = jax.lax.map(o, (c, lens))
+                    return acc + jnp.sum(ns)
+                return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+            return f
+
+        f = mk(True)
+        int(f())
+        ovh = min(_null_dispatch() for _ in range(3))
+        t = min(_t(f) for _ in range(3))
+        eff = max(t - ovh, 1e-9)
+        per_call = eff / (K * B_) * 1e6
+        print(f"no-op {label}: {per_call:7.1f} us/call "
+              f"(floor {B_ * BLOCK * K / 1e6 / eff:7.1f} MB/s equiv)")
+
+    mk_case("bytewide shapes", C, BLOCK + 16)
+    mk_case("packed shapes", C // 4, BLOCK // 4)
+    mk_case("tiny shapes", 8, 8)
+
+
 def exp_baseline():
     blocks = corpus_blocks()
     data = jnp.asarray(np.stack(
@@ -395,6 +585,12 @@ def main():
         exp_smem_chains()
     if "bytewide" in which:
         exp_bytewide()
+    if "addrfold" in which:
+        exp_addrfold()
+    if "callcost" in which:
+        exp_callcost()
+    if "condcost" in which:
+        exp_condcost()
 
 
 
