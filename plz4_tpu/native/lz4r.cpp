@@ -600,6 +600,21 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     static thread_local OptScratch sc;
 
     // --- pass 1: longest match per position --------------------------------
+    // DESIGN NOTE — why pass 1 searches unbounded even though
+    // boilerplate-heavy data (medium-length repeats at thousands of
+    // offsets, e.g. templated rows) then runs at ~0.1 MB/s at L11-12:
+    // the measured size margin over upstream lz4-HC at L10-12 is 0-72
+    // bytes on the conformance corpora (exactly 0 at L12 on enwik- and
+    // silesia-like), and silesia-like corpora contain exactly the
+    // repetitive sections a search budget would starve (avg chain walk
+    // 1807 at L11 vs ~160 on text). Every budget scheme tried in round 2
+    // (fixed depth caps, failure-hysteresis, productivity-refunded leaky
+    // buckets, 1-in-4 full-probe sampling) lost 26-7488 bytes on some
+    // corpus/level; the only safe bound (well above text's average walk)
+    // no longer speeds up the pathological case. Slow L11-12 on
+    // repeat-heavy data is the price of the "size <= upstream at every
+    // level" contract; the carry-skip above already handles the periodic
+    // (period <= 8 / ultra-long-match) cases.
     std::vector<int32_t>& mlen = sc.mlen;
     std::vector<int32_t>& moff = sc.moff;
     mlen.assign(n, 0);

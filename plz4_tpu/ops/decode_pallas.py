@@ -596,7 +596,7 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     return unpack_words(ow), n_out[0], ok[0] != 0
 
 
-def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
+def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
     """Byte-wide decode: one byte per int32 SMEM element, so byte
     loads/stores are single ops with no shift/mask RMW, and — measured on
     chip (tools/tpu_kernel_lab.py addrfold) — constant offsets from one
@@ -619,6 +619,16 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
     NT = o_ref.shape[0]
     Nl = NT - 16
     clen = clen_ref[0]
+
+    # widened-offset table: off2[e] = smallest multiple of e that is >= 8
+    # for e in 1..7 (identity above); one lookup replaces a ~10-op
+    # compare/select chain in every match copy. 8 stores, amortized over
+    # the whole block.
+    for _e, _v in enumerate((8, 8, 8, 9, 8, 10, 12, 14)):
+        w_ref[_e] = _v
+
+    def widen(eff):
+        return jnp.where(eff >= 8, eff, w_ref[eff & 7])
 
     def read_varint(ip, base):
         def vc(s):
@@ -705,11 +715,7 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
             # extension). Needs op >= 8 for the widened-group reads.
             def m_fast():
                 eff = jnp.where(bad, jnp.int32(8), off)
-                off2 = eff * jnp.where(
-                    eff >= 8, 1,
-                    jnp.where(eff >= 4, 2,
-                              jnp.where(eff == 3, 3,
-                                        jnp.where(eff == 2, 4, 8))))
+                off2 = widen(eff)
                 src = op - eff
                 for k in range(8):
                     o_ref[op + k] = o_ref[src + k]
@@ -762,6 +768,49 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
         lit = token >> 4
         mlr = token & 15
         mp = ip + 1 + lit
+        # Two fast tiers (on-chip ablation, tools/tpu_kernel_lab.py
+        # bwablate: parse+branch = 30 ns/seq, the rest of the round-1
+        # 168 ns/seq was fixed 40-element copy machinery against an
+        # average need of ~10 B/seq): a SMALL tier sized for the common
+        # sequence (lit <= 8, match <= 16: one literal group, prologue +
+        # one match group) and the full tier (lit <= 14, match <= 18).
+        gate_small = ((ip + 20 <= clen) & (op + 32 <= Nl) & (op >= 16)
+                      & (lit <= 8) & (mlr <= 12))
+
+        def fast_small():
+            s0 = ip + 1
+            d = op
+            o_ref[d] = c_ref[s0]
+            o_ref[d + 1] = c_ref[s0 + 1]
+            o_ref[d + 2] = c_ref[s0 + 2]
+            o_ref[d + 3] = c_ref[s0 + 3]
+            o_ref[d + 4] = c_ref[s0 + 4]
+            o_ref[d + 5] = c_ref[s0 + 5]
+            o_ref[d + 6] = c_ref[s0 + 6]
+            o_ref[d + 7] = c_ref[s0 + 7]
+            opl = op + lit
+            off = c_ref[mp] | (c_ref[mp + 1] << 8)
+            ml = mlr + 4
+            bad = (off == 0) | (off > opl)
+            eff = jnp.where(bad, jnp.int32(8), off)
+            src = opl - eff
+            for k in range(8):
+                o_ref[opl + k] = o_ref[src + k]
+            s2 = opl + 8 - widen(eff)
+            d2 = opl + 8
+            o_ref[d2] = o_ref[s2]
+            o_ref[d2 + 1] = o_ref[s2 + 1]
+            o_ref[d2 + 2] = o_ref[s2 + 2]
+            o_ref[d2 + 3] = o_ref[s2 + 3]
+            o_ref[d2 + 4] = o_ref[s2 + 4]
+            o_ref[d2 + 5] = o_ref[s2 + 5]
+            o_ref[d2 + 6] = o_ref[s2 + 6]
+            o_ref[d2 + 7] = o_ref[s2 + 7]
+            m_n = jnp.where(bad, 0, ml)
+            return (mp + 2, opl + m_n,
+                    ((ok != 0) & jnp.logical_not(bad)).astype(I32),
+                    bad.astype(I32))
+
         fast_gate = ((ip + 20 <= clen) & (op + 48 <= Nl) & (op >= 16)
                      & (lit != 15) & (mlr != 15) & (mp + 2 <= clen))
 
@@ -786,20 +835,15 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
             bad = (off == 0) | (off > opl)
             # widen the offset to its smallest multiple >= 8 (same
             # repeating pattern, and off2 - off <= 8 keeps every group
-            # read inside the already-materialized pattern):
-            # 1->8, 2->8, 3->9, 4..7 -> 8..14, >=8 unchanged
-            off2 = off * jnp.where(
-                off >= 8, 1,
-                jnp.where(off >= 4, 2,
-                          jnp.where(off == 3, 3,
-                                    jnp.where(off == 2, 4, 8))))
-            src = opl - jnp.where(bad, jnp.int32(8), off)
+            # read inside the already-materialized pattern)
+            eff = jnp.where(bad, jnp.int32(8), off)
+            src = opl - eff
             # serial 8-byte prologue handles any off >= 1 (in-order RMW)
             for k in range(8):
                 o_ref[opl + k] = o_ref[src + k]
             # two more 8-wide groups (match <= 18) read at distance off2:
             # every source byte was written by the prologue/group above
-            s2 = opl - jnp.where(bad, jnp.int32(8), off2)
+            s2 = opl - widen(eff)
             for g in (1, 2):
                 s = s2 + g * 8
                 d = opl + g * 8
@@ -817,7 +861,9 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref):
                     bad.astype(I32))
 
         ip, op, ok2, done = jax.lax.cond(
-            fast_gate, fast_seq, lambda: careful_seq(ip, op, ok))
+            gate_small, fast_small,
+            lambda: jax.lax.cond(fast_gate, fast_seq,
+                                 lambda: careful_seq(ip, op, ok)))
         return ip, op, ok2, done
 
     ip, op, ok, _ = jax.lax.while_loop(
@@ -866,6 +912,7 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
+            scratch_shapes=[pltpu.SMEM((8,), I32)],
             interpret=interpret,
         )(cb, jnp.reshape(clen.astype(I32), (1,)))
         return ob[:out_cap].astype(jnp.uint8), n_out[0], ok[0] != 0

@@ -554,10 +554,11 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
                 cand = jnp.where(lb > la, candB, candA)
                 good = goodA | goodB
                 nsip = jnp.where(good, sip, sip + 1)
-                u2 = jax.lax.cond(
-                    good, lambda: u,
-                    lambda: jax.lax.shift_right_logical(u, 8)
-                    | (c_ref[jnp.minimum(nsip + 3, DT - 1)] << 24))
+                # branchless reread (nsip <= mflimit + 1 <= end - 11; the
+                # data carries 8 bytes of tail slack): cheaper than a
+                # per-position lax.cond
+                u2 = (c_ref[nsip] | (c_ref[nsip + 1] << 8)
+                      | (c_ref[nsip + 2] << 16) | (c_ref[nsip + 3] << 24))
                 return (nsip, cnt + 1, good.astype(I32), cand, u2)
 
             sip, _, found, cand, _ = jax.lax.while_loop(
@@ -580,13 +581,13 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
                 step = jax.lax.shift_right_logical(cnt, SKIP_STRENGTH)
                 adv = jnp.where(good, 0, 1 + step)
                 nsip = sip + adv
-                # common path: advance by 1 -> shift one fresh byte into
-                # the carried word; acceleration jumps reread (clipped)
-                u2 = jax.lax.cond(
-                    adv == 1,
-                    lambda: jax.lax.shift_right_logical(u, 8)
-                    | (c_ref[jnp.minimum(nsip + 3, DT - 1)] << 24),
-                    lambda: rd_u32_clip(nsip))
+                # branchless reread (one clamp: the acceleration step can
+                # overshoot mflimit on incompressible data): cheaper than
+                # the previous per-position lax.cond carrying the word
+                # (12-15 ns vs ~7 ns; tools/tpu_kernel_lab.py condcost)
+                p = jnp.minimum(nsip, DT - 4)
+                u2 = (c_ref[p] | (c_ref[p + 1] << 8)
+                      | (c_ref[p + 2] << 16) | (c_ref[p + 3] << 24))
                 return (nsip, cnt + 1, good.astype(I32), cand, u2)
 
             sip, _, found, cand, _ = jax.lax.while_loop(

@@ -591,8 +591,192 @@ def main():
         exp_callcost()
     if "condcost" in which:
         exp_condcost()
+    if "bwablate" in which:
+        exp_bwablate()
 
 
+
+
+def _count_sequences(comp: bytes) -> int:
+    """Host walk of an lz4 block stream: number of sequences."""
+    ip, n, nseq = 0, len(comp), 0
+    while ip < n:
+        token = comp[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = comp[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        ip += lit
+        nseq += 1
+        if ip >= n:
+            break
+        ip += 2
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = comp[ip]
+                ip += 1
+                if b != 255:
+                    break
+    return nseq
+
+
+def exp_bwablate():
+    """Split the byte-wide decode kernel's per-sequence cost into parse,
+    copies and branch machinery: full kernel vs parse-only (same loop +
+    cond structure, copies ablated) vs cond-free branchless parse."""
+    dev = jax.devices()[0]
+    print("device:", dev.device_kind,
+          "num_cores:", getattr(dev, "num_cores", "?"),
+          "local devices:", jax.local_device_count())
+
+    blocks = corpus_blocks()
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 16
+    carr = np.zeros((B, C), np.int32)
+    clens = np.zeros((B,), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+    comp = jnp.asarray(carr)
+    clens_j = jnp.asarray(clens)
+    nseq = sum(_count_sequences(c) for c in comp_np)
+    print(f"corpus: {B} x {BLOCK} blocks, {nseq} sequences "
+          f"({B * BLOCK / nseq:.1f} B/seq)")
+
+    def parse_kernel(c_ref, clen_ref, out_ref):
+        Ck = c_ref.shape[0]
+        clen = clen_ref[0]
+
+        def read_varint(ip, base):
+            def vc(s):
+                return s[2] == 255
+
+            def vb(s):
+                t, p, _ = s
+                b = c_ref[jnp.minimum(p, Ck - 1)]
+                return t + b, p + 1, b
+
+            t, p, _ = jax.lax.while_loop(vc, vb, (base, ip, jnp.int32(255)))
+            return t, p
+
+        def careful(ip, op, acc):
+            token = c_ref[jnp.minimum(ip, Ck - 1)]
+            ip = ip + 1
+            lit = token >> 4
+
+            def lit_ext():
+                e0 = c_ref[jnp.minimum(ip, Ck - 1)]
+                return jax.lax.cond(
+                    e0 == 255, lambda: read_varint(ip, 15),
+                    lambda: (15 + e0, ip + 1))
+
+            lit, ip = jax.lax.cond(lit == 15, lit_ext, lambda: (lit, ip))
+            ip = ip + lit
+            op = op + lit
+            fin = ip >= clen
+
+            def dm(ip, op):
+                off = c_ref[jnp.minimum(ip, Ck - 1)] | \
+                    (c_ref[jnp.minimum(ip + 1, Ck - 1)] << 8)
+                ip = ip + 2
+                mlr = token & 15
+
+                def m_ext():
+                    e0 = c_ref[jnp.minimum(ip, Ck - 1)]
+                    return jax.lax.cond(
+                        e0 == 255, lambda: read_varint(ip, 15),
+                        lambda: (15 + e0, ip + 1))
+
+                ml, ip = jax.lax.cond(mlr == 15, m_ext, lambda: (mlr, ip))
+                return ip, op + ml + 4, off
+
+            ip, op, off = jax.lax.cond(
+                fin, lambda a, b: (a, b, jnp.int32(0)), dm, ip, op)
+            return (ip, op, acc + token + off,
+                    (fin | (ip >= clen)).astype(I32))
+
+        def body(s):
+            ip, op, acc, _ = s
+            token = c_ref[jnp.minimum(ip, Ck - 1)]
+            lit = token >> 4
+            mlr = token & 15
+            mp = ip + 1 + lit
+            fast_gate = ((ip + 20 <= clen) & (lit != 15) & (mlr != 15)
+                         & (mp + 2 <= clen))
+
+            def fast():
+                off = c_ref[mp] | (c_ref[mp + 1] << 8)
+                return (mp + 2, op + lit + mlr + 4, acc + token + off,
+                        jnp.int32(0))
+
+            ip, op, acc, done = jax.lax.cond(
+                fast_gate, fast, lambda: careful(ip, op, acc))
+            return ip, op, acc, done | (ip >= clen).astype(I32)
+
+        ip, op, acc, _ = jax.lax.while_loop(
+            lambda s: s[3] == 0, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             (clen <= 0).astype(I32)))
+        out_ref[0] = op
+        out_ref[1] = acc
+
+    def nocond_kernel(c_ref, clen_ref, out_ref):
+        Ck = c_ref.shape[0]
+        clen = clen_ref[0]
+
+        def body(s):
+            ip, op, acc = s
+            token = c_ref[jnp.minimum(ip, Ck - 1)]
+            lit = token >> 4
+            mlr = token & 15
+            mp = jnp.minimum(ip + 1 + lit, Ck - 2)
+            off = c_ref[mp] | (c_ref[mp + 1] << 8)
+            return mp + 2, op + lit + mlr + 4, acc + token + off
+
+        ip, op, acc = jax.lax.while_loop(
+            lambda s: s[0] < clen, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        out_ref[0] = op
+        out_ref[1] = acc
+
+    def mk(kern):
+        @functools.partial(jax.jit)
+        def one(args):
+            c, cl = args
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((8,), I32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            )(c, jnp.reshape(cl, (1,)))
+
+        def make_fn(vary):
+            K = 48
+
+            @jax.jit
+            def f():
+                def kbody(i, a):
+                    c = comp.at[:, C - 1].set(i & 255) if vary else comp
+                    r = jax.lax.map(one, (c, clens_j))
+                    return a + jnp.sum(r[:, 0])
+                return jax.lax.fori_loop(0, K, kbody, jnp.int32(0))
+            return f
+        return make_fn
+
+    K = 48
+    nbytes = B * BLOCK * K
+    for label, kern in (("parse+cond", parse_kernel),
+                        ("parse-nocond", nocond_kernel)):
+        tput = timed_kloop(mk(kern), K, nbytes, f"decode {label:13s}")
+        ns_per_seq = (B * BLOCK / tput) / nseq * 1e9
+        print(f"    -> {ns_per_seq:.1f} ns/seq")
 
 
 def exp_loopcost():
