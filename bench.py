@@ -142,9 +142,9 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     # measurement dwarfs the (noisy) dispatch overhead, while staying well
     # under the tunnel's long-dispatch watchdog
     K_ENC = int(os.environ.get("PLZ4_BENCH_K_ENC",
-                               "32" if use_pallas else "4"))
+                               "128" if use_pallas else "4"))
     K_RT = int(os.environ.get("PLZ4_BENCH_K_RT",
-                              "16" if use_pallas else "2"))
+                              "96" if use_pallas else "2"))
 
     @functools.partial(jax.jit, static_argnames=("k", "vary"))
     def enc_k(d, l, k, vary):
@@ -191,28 +191,38 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     comp_one = int(jnp.sum(t0v))
     ratio = batch_bytes / max(1, comp_one)
 
+    # Two-k differencing: time the SAME varying loop at k and k/4 and
+    # divide the delta by the iteration delta. This cancels the tunnel's
+    # fixed dispatch latency and — unlike subtracting a hoistable
+    # (constant-body) loop — does not depend on XLA actually hoisting the
+    # body: pallas_call bodies are NOT hoisted out of fori_loop, which
+    # silently zeroed the old scheme's estimate.
+    K_ENC_LO = max(1, K_ENC // 4)
+    K_RT_LO = max(1, K_RT // 4)
+
     # compile everything first
     int(enc_k(data, lens, K_ENC, True))
-    int(enc_k(data, lens, K_ENC, False))
+    int(enc_k(data, lens, K_ENC_LO, True))
     _, bad = dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True)
     assert not bool(bad), "device round-trip mismatch"
-    dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, False)
+    dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT_LO, True)
 
-    # overhead: same call shape but hoistable loop body; min of 3 runs
-    # (the tunnel's latency is noisy)
-    t_ovh = min(timed(lambda: int(enc_k(data, lens, K_ENC, False)))[1]
-                for _ in range(3))
-    _log(f"dispatch overhead: {t_ovh:.2f}s")
+    t_hi = min(timed(lambda: int(enc_k(data, lens, K_ENC, True)))[1]
+               for _ in range(3))
+    t_lo = min(timed(lambda: int(enc_k(data, lens, K_ENC_LO, True)))[1]
+               for _ in range(3))
+    _log(f"enc k-loop: lo {t_lo:.2f}s hi {t_hi:.2f}s")
+    t_enc = max(t_hi - t_lo, 1e-9) / (K_ENC - K_ENC_LO)
 
-    _, t_enc_all = timed(lambda: int(enc_k(data, lens, K_ENC, True)))
-    t_enc = max(t_enc_all - t_ovh, 1e-9) / K_ENC
-
-    def run_dec():
-        acc, bad = dec_k(c0, t0v, c1, t1v, lens, data, data1, K_RT, True)
+    def run_dec(k):
+        acc, bad = dec_k(c0, t0v, c1, t1v, lens, data, data1, k, True)
         return int(acc), bool(bad)  # device_get = true sync
 
-    (_, bad), t_dec_all = timed(run_dec)
-    t_dec = max(t_dec_all - t_ovh, 1e-9) / K_RT
+    t_hi = min(timed(lambda: run_dec(K_RT))[1] for _ in range(3))
+    t_lo = min(timed(lambda: run_dec(K_RT_LO))[1] for _ in range(3))
+    _log(f"dec k-loop: lo {t_lo:.2f}s hi {t_hi:.2f}s")
+    t_dec = max(t_hi - t_lo, 1e-9) / (K_RT - K_RT_LO)
+    (_, bad) = run_dec(K_RT_LO)
     assert not bad, "device round-trip mismatch"
 
     enc_gbps = batch_bytes / 1e9 / t_enc
