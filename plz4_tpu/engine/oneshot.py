@@ -213,15 +213,14 @@ def decompress_bytes(data: bytes, o: Options):
             or o.dict_callback is not None or o.backend == "device"
             or o.resolved_parallel() == 0):
         return None
-    try:
-        frames = _parse_stream(data)
-    except zerr.Lz4Error:
-        raise
+    frames = _parse_stream(data)
     if frames is None:
         return None
     view = memoryview(data)
     workers = o.resolved_parallel()
     submit, cleanup = _submitter(o)
+    out_buf = None
+    ok = False
     try:
         # layout: every frame's blocks decode into slot offsets (stride =
         # block size) of ONE shared buffer; when all non-final blocks fill
@@ -230,7 +229,6 @@ def decompress_bytes(data: bytes, o: Options):
         total_cap = sum(
             fr.header.block_size * len(fr.blocks) for fr in frames)
         out_buf = native.buffer_pool.take(total_cap)
-        ok = False
         results = []
         base = 0
         for fr in frames:

@@ -24,7 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 from .. import errors as zerr
 from .. import native
 from ..frame import block_io, header as hdr
-from ..opts import WINDOW_SIZE, Options
+from ..opts import WINDOW_SIZE, Options, calc_pending
 from .writer import _HashWorker
 
 
@@ -234,11 +234,16 @@ class FrameReader:
                         else None)
         # dynamic worker scaling by declared content size, recomputed per
         # frame from the unmodified setting (reference: async/reader.go:90-99
-        # derives nTasks from NParallel fresh for every frame)
+        # derives nTasks from NParallel fresh for every frame). The clamp
+        # feeds the per-frame read-ahead budget below — the shared pool
+        # stays sized by the unmodified setting so later frames are
+        # unaffected; a 1-block frame just stops over-dispatching.
         self._frame_parallel = self._parallel
         if h.content_size is not None and self._parallel > 0:
             blocks = h.content_size // h.block_size + 1
             self._frame_parallel = max(1, min(self._parallel, blocks))
+        self._budget = calc_pending(
+            self._o.pending_size, self._frame_parallel, h.block_size_idx)
         # the device path verifies block checksums in one batched on-chip
         # hash per batch (ops/xxh32_jax) instead of per-block host hashing
         defer = (self._use_device and h.block_checksum

@@ -405,13 +405,13 @@ class StreamCompressor:
         dst_cap (store raw — state stays consistent either way)."""
         cap = dst_cap if dst_cap is not None else \
             self._lib.lz4r_compress_bound(len(src))
-        dst = np.empty(max(cap, 1), dtype=np.uint8)
+        dst = _tl_out.get(max(cap, 1))
         n = self._lib.lz4r_stream_compress(
             self._ctx, _as_u8p(src), len(src),
-            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+            ctypes.cast(dst, _U8P), cap)
         if n <= 0:
             return None
-        return dst[:n].tobytes()
+        return ctypes.string_at(dst, n)
 
     def __del__(self):  # pragma: no cover
         try:

@@ -196,18 +196,19 @@ int compress_greedy_t(const uint8_t* wbase, const uint8_t* src,
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
+    if (src_size == 0) {
+        // a valid LZ4 block cannot be empty per frame usage; emit empty
+        // token (checked before deriving iend-offset pointers: src may be
+        // null here and non-zero offsets from null are UB)
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
     const uint8_t* ip = src;
     const uint8_t* anchor = src;
     const uint8_t* const iend = src + src_size;
     const uint8_t* const mflimit = iend - MFLIMIT;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
-
-    if (src_size == 0) {
-        // a valid LZ4 block cannot be empty per frame usage; emit empty token
-        if (dst_cap < 1) return 0;
-        *op++ = 0;
-        return (int)(op - dst);
-    }
 
     const int hashlog = 16;
 
@@ -562,6 +563,12 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
+    if (src_size == 0) {
+        // before deriving iend-offset pointers: src may be null here
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
     const uint8_t* const iend = src + src_size;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = hc_attempts_for_level(level);
@@ -576,11 +583,6 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // carried match this long, skip the re-search entirely
     const int skip_len = level >= 12 ? 4095 : 256;
 
-    if (src_size == 0) {
-        if (dst_cap < 1) return 0;
-        *op++ = 0;
-        return (int)(op - dst);
-    }
     if (src_size < MFLIMIT + 1) {
         op = emit_last_literals(op, oend, src, src_size);
         return op ? (int)(op - dst) : 0;
@@ -795,18 +797,18 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
+    if (src_size == 0) {
+        // before deriving iend-offset pointers: src may be null here
+        if (dst_cap < 1) return 0;
+        *op++ = 0;
+        return (int)(op - dst);
+    }
     const uint8_t* ip = src;
     const uint8_t* anchor = src;
     const uint8_t* const iend = src + src_size;
     const uint8_t* const mflimit = iend - MFLIMIT;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = hc_attempts_for_level(level);
-
-    if (src_size == 0) {
-        if (dst_cap < 1) return 0;
-        *op++ = 0;
-        return (int)(op - dst);
-    }
 
     // Parse strategy (reference analog: LZ4HC_compress_hashChain,
     // lz4hc.c:1178-1330): hold up to three overlapping candidate matches
@@ -1241,7 +1243,15 @@ LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
     if (!c->hc_built && level > 1) {
         c->hc.reset();
         c->hc.attach(c->scratch.data());
-        c->hc.insert_upto(c->scratch.data() + c->window_size);
+        // stop 3 short of the end: insert_upto does read32(wbase + i), so
+        // inserting position window_size-1 would read 3 bytes past the
+        // scratch vector (it holds exactly the window before the first
+        // resize). The last 3 positions are inserted by the finder's own
+        // insert_upto(ip) once the record bytes are appended — same
+        // discipline as upstream LZ4_loadDict stopping at dictEnd-HASH_UNIT
+        // (clz4/lz4.c:1565).
+        if (c->window_size > 3)
+            c->hc.insert_upto(c->scratch.data() + c->window_size - 3);
         c->hc_built = true;
     }
     c->scratch.resize(c->window_size + (size_t)src_size);

@@ -716,10 +716,13 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
             def m_fast():
                 eff = jnp.where(bad, jnp.int32(8), off)
                 off2 = widen(eff)
-                src = op - eff
+                # clamp: on corrupt input (bad, e.g. off > op with op < 8)
+                # m_n is 0 so the copied bytes are dead, but the prologue
+                # still executes — the base must not index below SMEM
+                src = jnp.maximum(op - eff, 0)
                 for k in range(8):
                     o_ref[op + k] = o_ref[src + k]
-                s2 = op - off2
+                s2 = jnp.maximum(op - off2, 0)
 
                 def gb(t, _):
                     s = s2 + t * 8
