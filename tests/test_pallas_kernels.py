@@ -41,6 +41,22 @@ def test_pallas_decode_rejects_corrupt():
         pass
 
 
+@pytest.mark.parametrize("stream", [
+    # match at op=0 with off=50: bad (off > op) while op < 8 — the careful
+    # path's m_fast prologue used to index negative SMEM offsets
+    bytes([0x04, 50, 0]),
+    # one literal then off=200 at op=1: same shape, non-zero op
+    bytes([0x14, 0x41, 200, 0]),
+    # off=0 (always invalid) right at the start
+    bytes([0x04, 0, 0]),
+], ids=["off50-op0", "off200-op1", "off0"])
+def test_pallas_decode_rejects_early_bad_offset(stream):
+    """Regression: corrupt first-sequence offsets must flag, not fault."""
+    from plz4_tpu import errors as zerr
+    with pytest.raises(zerr.Lz4Error):
+        decode_pallas.decode_block_host(stream, out_cap=256, interpret=True)
+
+
 def test_pallas_decode_truncated():
     data = make_compressible(2000, seed=4)
     comp = native.compress(data, level=1)
