@@ -393,15 +393,26 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
     ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
 
 
-def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
-                      tab2_ref, mid: bool = False):
+def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
     """Byte-wide encode: one byte per int32 SMEM element. Byte loads are
     single ops and constant offsets from one dynamic base fold into the
     memory op (measured: tools/tpu_kernel_lab.py addrfold), so the hash
     scan carries the current 4-byte word across positions (shift-in one
     fresh byte instead of an unaligned funnel read) and literal emits are
     8-wide wild copies. Same stream semantics as _encode_kernel
-    (greedy / mid, window prefix, incompressible flag)."""
+    (greedy / mid, window prefix, incompressible flag).
+
+    vals=True adds a precomputed word table v_ref (v_ref[p] = the 4-byte
+    little-endian word at byte p, built on the VPU outside the kernel):
+    every u32 read in the scan collapses from 4 loads + 3 shift/ors to a
+    single SMEM load. Costs one extra input-sized SMEM operand, so callers
+    enable it only when the element budget allows (_bw_fits)."""
+    if vals:
+        (c_ref, v_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
+         tab2_ref) = refs
+    else:
+        c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref, tab2_ref = refs
+        v_ref = None
     DT = c_ref.shape[0]
     OT = o_ref.shape[0]
     n = n_ref[0]
@@ -414,9 +425,13 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
     def hash4(u32):
         return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HL)
 
-    def rd_u32(p):
-        return (c_ref[p] | (c_ref[p + 1] << 8) | (c_ref[p + 2] << 16)
-                | (c_ref[p + 3] << 24))
+    if vals:
+        def rd_u32(p):
+            return v_ref[p]
+    else:
+        def rd_u32(p):
+            return (c_ref[p] | (c_ref[p + 1] << 8) | (c_ref[p + 2] << 16)
+                    | (c_ref[p + 3] << 24))
 
     def rd_u32_clip(p):
         p = jnp.minimum(p, DT - 4)
@@ -557,8 +572,7 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
                 # branchless reread (nsip <= mflimit + 1 <= end - 11; the
                 # data carries 8 bytes of tail slack): cheaper than a
                 # per-position lax.cond
-                u2 = (c_ref[nsip] | (c_ref[nsip + 1] << 8)
-                      | (c_ref[nsip + 2] << 16) | (c_ref[nsip + 3] << 24))
+                u2 = rd_u32(nsip)
                 return (nsip, cnt + 1, good.astype(I32), cand, u2)
 
             sip, _, found, cand, _ = jax.lax.while_loop(
@@ -585,9 +599,7 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
                 # overshoot mflimit on incompressible data): cheaper than
                 # the previous per-position lax.cond carrying the word
                 # (12-15 ns vs ~7 ns; tools/tpu_kernel_lab.py condcost)
-                p = jnp.minimum(nsip, DT - 4)
-                u2 = (c_ref[p] | (c_ref[p + 1] << 8)
-                      | (c_ref[p + 2] << 16) | (c_ref[p + 3] << 24))
+                u2 = rd_u32_clip(nsip)
                 return (nsip, cnt + 1, good.astype(I32), cand, u2)
 
             sip, _, found, cand, _ = jax.lax.while_loop(
@@ -670,26 +682,39 @@ def _encode_kernel_bw(c_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
 _BW_MAX_ELEMS = 230 * 1024
 
 
-def _bw_fits(n_in: int, cap: int, mid: bool) -> bool:
+def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False) -> bool:
     tables = 2 * (1 << (MID_HASH_LOG if mid else HASH_LOG))
-    return n_in + cap + tables <= _BW_MAX_ELEMS
+    return n_in * (2 if vals else 1) + cap + tables <= _BW_MAX_ELEMS
 
 
 def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
                     interpret: bool):
-    """Shared pallas_call for the byte-wide encode kernel."""
+    """Shared pallas_call for the byte-wide encode kernel. Enables the
+    precomputed-word-table variant (1 SMEM load per u32 read in the scan
+    instead of 4 loads + 3 ors) whenever the extra input-sized operand
+    stays inside the SMEM element budget — true for plain <= 64 KiB
+    blocks; window-prefix (linked/dict) calls at full size fall back."""
     HL = MID_HASH_LOG if mid else HASH_LOG
+    ci = combined_u8.astype(I32)
+    vals = _bw_fits(ci.shape[0], cap, mid, vals=True)
+    inputs = [ci]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if vals:
+        pad = jnp.concatenate([ci, jnp.zeros((3,), I32)])
+        v = (pad[:-3] | (pad[1:-2] << 8) | (pad[2:-1] << 16)
+             | (pad[3:] << 24))
+        inputs.append(v)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    inputs.append(meta)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     ob, total, ok = pl.pallas_call(
-        functools.partial(_encode_kernel_bw, mid=mid),
+        functools.partial(_encode_kernel_bw, mid=mid, vals=vals),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
             jax.ShapeDtypeStruct((1,), I32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -698,7 +723,7 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
         scratch_shapes=[pltpu.SMEM((1 << HL,), I32),
                         pltpu.SMEM((1 << HL,), I32)],
         interpret=interpret,
-    )(combined_u8.astype(I32), meta)
+    )(*inputs)
     return ob.astype(jnp.uint8), total[0], ok[0] != 0
 
 
