@@ -25,6 +25,51 @@ _BUILD_DIR = os.path.join(_HERE, "_build")
 _lib = None
 _lock = threading.Lock()
 
+_EXT_SRC = os.path.join(_HERE, "_extmod.c")
+_ext = None           # C-extension module (None until loaded / if failed)
+_ext_tried = False
+
+
+def _load_ext():
+    """Build + import the CPython C-extension binding (plz4_ext). Falls
+    back silently to ctypes on any failure — the extension is a pure
+    fast path, not a capability."""
+    global _ext, _ext_tried
+    if _ext_tried:
+        return _ext
+    with _lock:
+        if _ext_tried:
+            return _ext
+        try:
+            import importlib.util
+            import sysconfig
+
+            h = hashlib.sha256()
+            for p in (_SRC, _EXT_SRC):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            digest = h.hexdigest()[:16]
+            suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+            so_path = os.path.join(_BUILD_DIR, f"plz4_ext-{digest}{suffix}")
+            if not os.path.exists(so_path):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                tmp = so_path + f".tmp{os.getpid()}"
+                inc = sysconfig.get_paths()["include"]
+                cmd = [
+                    "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                    "-fPIC", f"-I{inc}", "-o", tmp, _EXT_SRC, _SRC,
+                ]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(tmp, so_path)
+            spec = importlib.util.spec_from_file_location("plz4_ext", so_path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _ext = mod
+        except Exception:  # pragma: no cover - env-dependent
+            _ext = None
+        _ext_tried = True
+    return _ext
+
 
 def _build_lib() -> str:
     with open(_SRC, "rb") as f:
@@ -120,8 +165,39 @@ def _load():
         lib.lz4r_xxh32_digest.restype = ctypes.c_uint32
         lib.lz4r_xxh32_digest.argtypes = [ctypes.c_void_p]
         lib.lz4r_xxh32_free.argtypes = [ctypes.c_void_p]
+        _mk_fast(lib)
         _lib = lib
     return _lib
+
+
+class _FastFns:
+    """Second set of prototypes for the per-record hot calls, bound to the
+    same symbols but taking c_char_p arguments: `bytes` sources pass
+    straight through (ctypes hands over the internal buffer pointer — no
+    per-call cast objects), which is ~2x on ~1 KiB records where the four
+    ctypes.cast/_as_u8p allocations cost as much as the codec. CFUNCTYPE
+    foreign functions release the GIL during the call like CDLL ones."""
+
+    compress = None
+    decompress = None
+    dict_compress = None
+
+
+_fast = _FastFns()
+
+
+def _mk_fast(lib) -> None:
+    cp = ctypes.c_char_p
+    ci = ctypes.c_int
+
+    def bind(name, *argtys):
+        proto = ctypes.CFUNCTYPE(ci, *argtys)
+        return proto(ctypes.cast(getattr(lib, name), ctypes.c_void_p).value)
+
+    _fast.compress = bind("lz4r_compress", cp, ci, cp, ci, ci, cp, ci)
+    _fast.decompress = bind("lz4r_decompress", cp, ci, cp, ci, cp, ci)
+    _fast.dict_compress = bind("lz4r_dict_compress", ctypes.c_void_p, cp,
+                               ci, cp, ci, ci)
 
 
 def available() -> bool:
@@ -208,14 +284,24 @@ def compress_bound(src_size: int) -> int:
 def compress(src: bytes, level: int = 1, dict_: bytes | None = None) -> bytes:
     """Compress one LZ4 block. Raises ErrCompress when incompressible (the
     caller stores the block raw — reference: blk/blk.go:75-92)."""
+    ext = _ext if _ext_tried else _load_ext()
+    if ext is not None:
+        r = ext.block_compress(src, int(level), dict_)
+        if r is None:
+            raise zerr.ErrCompress
+        return r
     lib = _load()
     cap = lib.lz4r_compress_bound(len(src))
     dst = _tl_out.get(cap)
-    n = lib.lz4r_compress(
-        _as_u8p(src), len(src),
-        ctypes.cast(dst, _U8P), cap,
-        int(level), _as_u8p(dict_), len(dict_) if dict_ else 0,
-    )
+    if type(src) is bytes and (dict_ is None or type(dict_) is bytes):
+        n = _fast.compress(src, len(src), dst, cap, int(level), dict_,
+                           len(dict_) if dict_ else 0)
+    else:
+        n = lib.lz4r_compress(
+            _as_u8p(src), len(src),
+            ctypes.cast(dst, _U8P), cap,
+            int(level), _as_u8p(dict_), len(dict_) if dict_ else 0,
+        )
     if n <= 0:
         raise zerr.ErrCompress
     return ctypes.string_at(dst, n)
@@ -239,13 +325,23 @@ def compress_into(src: bytes, dst_cap: int, level: int = 1,
 
 def decompress(src: bytes, dst_cap: int, dict_: bytes | None = None) -> bytes:
     """Decompress one LZ4 block into at most dst_cap bytes."""
+    ext = _ext if _ext_tried else _load_ext()
+    if ext is not None:
+        r = ext.block_decompress(src, dst_cap, dict_)
+        if r is None:
+            raise zerr.ErrDecompress
+        return r
     lib = _load()
     dst = _tl_out.get(dst_cap)
-    n = lib.lz4r_decompress(
-        _as_u8p(src), len(src),
-        ctypes.cast(dst, _U8P), dst_cap,
-        _as_u8p(dict_), len(dict_) if dict_ else 0,
-    )
+    if type(src) is bytes and (dict_ is None or type(dict_) is bytes):
+        n = _fast.decompress(src, len(src), dst, dst_cap, dict_,
+                             len(dict_) if dict_ else 0)
+    else:
+        n = lib.lz4r_decompress(
+            _as_u8p(src), len(src),
+            ctypes.cast(dst, _U8P), dst_cap,
+            _as_u8p(dict_), len(dict_) if dict_ else 0,
+        )
     if n < 0:
         raise zerr.ErrDecompress
     return ctypes.string_at(dst, n)
@@ -358,19 +454,35 @@ class DictContext:
     def __init__(self, dictionary: bytes) -> None:
         self._lib = _load()
         self._dict = bytes(dictionary[-65536:])
-        self._ctx = self._lib.lz4r_dict_create(
-            _as_u8p(self._dict), len(self._dict))
+        self._ext = _ext if _ext_tried else _load_ext()
+        if self._ext is not None:
+            # capsule owns the ctx; freed by its destructor
+            self._cap = self._ext.dict_create(self._dict)
+            self._ctx = None
+        else:
+            self._cap = None
+            self._ctx = self._lib.lz4r_dict_create(
+                _as_u8p(self._dict), len(self._dict))
 
     @property
     def dictionary(self) -> bytes:
         return self._dict
 
     def compress(self, src: bytes, level: int = 1) -> bytes:
+        if self._ext is not None:
+            r = self._ext.dict_compress(self._cap, src, int(level))
+            if r is None:
+                raise zerr.ErrCompress
+            return r
         cap = self._lib.lz4r_compress_bound(len(src))
         dst = _tl_out.get(cap)
-        n = self._lib.lz4r_dict_compress(
-            self._ctx, _as_u8p(src), len(src),
-            ctypes.cast(dst, _U8P), cap, int(level))
+        if type(src) is bytes:
+            n = _fast.dict_compress(self._ctx, src, len(src), dst, cap,
+                                    int(level))
+        else:
+            n = self._lib.lz4r_dict_compress(
+                self._ctx, _as_u8p(src), len(src),
+                ctypes.cast(dst, _U8P), cap, int(level))
         if n <= 0:
             raise zerr.ErrCompress
         return ctypes.string_at(dst, n)
@@ -380,7 +492,8 @@ class DictContext:
 
     def __del__(self):  # pragma: no cover
         try:
-            self._lib.lz4r_dict_free(self._ctx)
+            if self._ctx is not None:
+                self._lib.lz4r_dict_free(self._ctx)
         except Exception:
             pass
 
