@@ -42,10 +42,14 @@ def _pow2(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "dict_cap"))
 def _decode_batch_dict(comp, clens, dlens, dict_buf, out_cap, dict_cap):
-    fn = functools.partial(decode_jax.decode_block,
-                           out_cap=out_cap, dict_cap=dict_cap)
-    return jax.vmap(fn, in_axes=(0, 0, None, None))(
-        comp, clens, dict_buf, dlens)
+    # dict_buf/dlens broadcast via closure: decode_block takes out_cap as
+    # its third POSITIONAL parameter, so a partial binding out_cap by
+    # keyword plus a positional dict_buf collides (TypeError)
+    def one(c, l):
+        return decode_jax.decode_block(c, l, out_cap, dict_=dict_buf,
+                                       dlen=dlens, dict_cap=dict_cap)
+
+    return jax.vmap(one)(comp, clens)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
@@ -60,6 +64,18 @@ def _decode_batch_dict_pallas(comp, clens, dict_buf, dlen, out_cap):
     return jax.lax.map(one, (comp, clens))
 
 
+@jax.jit
+def _hash_padded(out, totals):
+    """xxh32 of the leading totals[i] bytes of each row, padding the row
+    width to the hash kernel's 16-byte stripe multiple on device."""
+    from ..ops import xxh32_jax
+
+    W = out.shape[1]
+    if W % 16:
+        out = jnp.pad(out, ((0, 0), (0, 16 - W % 16)))
+    return xxh32_jax.xxh32_batch(out, jnp.minimum(totals, W))
+
+
 def _multiprocess_mesh(mesh) -> bool:
     """True when the mesh spans devices this process cannot address
     (multi-controller JAX: every process runs this same code SPMD)."""
@@ -71,6 +87,10 @@ def _multiprocess_mesh(mesh) -> bool:
 
 
 def _shard_args(mesh, *arrays):
+    """Callers pass HOST numpy arrays: the multi-process branch slices
+    addressable shards straight from host memory (uploading the full
+    batch first would round-trip every byte through a device for
+    nothing), and the single-process branch does the one H2D put."""
     if mesh is None:
         return arrays
     sh = mesh_mod.batch_sharding(mesh)
@@ -80,12 +100,9 @@ def _shard_args(mesh, *arrays):
     # layer is replicated work); each contributes its addressable shards
     # (reference analog: distributing the inChan fan-out across hosts,
     # SURVEY.md §5.8)
-    out = []
-    for a in arrays:
-        a = np.asarray(a)
-        out.append(jax.make_array_from_callback(
-            a.shape, sh, lambda idx, a=a: a[idx]))
-    return tuple(out)
+    return tuple(
+        jax.make_array_from_callback(a.shape, sh, lambda idx, a=a: a[idx])
+        for a in arrays)
 
 
 def _fetch(arr) -> np.ndarray:
@@ -136,9 +153,7 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
                 d = d[-D:]
                 darr[i, D - len(d):] = np.frombuffer(d, dtype=np.uint8)
                 dlens[i] = len(d)
-        a, l, da, dl = _shard_args(
-            mesh, jnp.asarray(arr), jnp.asarray(lens), jnp.asarray(darr),
-            jnp.asarray(dlens))
+        a, l, da, dl = _shard_args(mesh, arr, lens, darr, dlens)
         if _use_pallas():
             from ..ops import encode_pallas
 
@@ -154,7 +169,7 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
             out, totals, compressible = encode_jax.encode_batch_dict(
                 a, l, da, dl, level=level)
     else:
-        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(lens))
+        a, l = _shard_args(mesh, arr, lens)
         if _use_pallas():
             from ..ops import encode_pallas
 
@@ -173,12 +188,10 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         from ..ops import xxh32_jax
 
         # hash both the compressed candidates and the raw blocks on device;
-        # host assembly picks per block by the incompressible outcome
-        W = out.shape[1]
-        out16 = out if W % 16 == 0 else jnp.pad(
-            out, ((0, 0), (0, 16 - W % 16)))
-        comp_hash = _fetch(xxh32_jax.xxh32_batch(
-            out16, jnp.minimum(totals, W)))
+        # host assembly picks per block by the incompressible outcome.
+        # The pad/clamp runs INSIDE jit: eager ops on non-fully-addressable
+        # sharded arrays are rejected under multi-controller JAX.
+        comp_hash = _fetch(_hash_padded(out, totals))
         raw_hash = _fetch(xxh32_jax.xxh32_batch(a, l))
     out = _fetch(out)
     totals = _fetch(totals)
@@ -245,7 +258,7 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
         D = _pow2(max(16, len(dict_)))
         dbuf = np.zeros((D,), dtype=np.uint8)
         dbuf[D - len(dict_):] = np.frombuffer(dict_, dtype=np.uint8)
-        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
+        a, l = _shard_args(mesh, arr, clens)
         if _use_pallas():
             from ..ops import decode_pallas
 
@@ -257,7 +270,7 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
                 a, l, jnp.int32(len(dict_)), jnp.asarray(dbuf),
                 out_cap=block_size, dict_cap=D)
     else:
-        a, l = _shard_args(mesh, jnp.asarray(arr), jnp.asarray(clens))
+        a, l = _shard_args(mesh, arr, clens)
         if _use_pallas():
             from ..ops import decode_pallas
 

@@ -60,8 +60,10 @@ def compress_sharded(data: bytes, mesh=None, **kw) -> bytes:
     kw.setdefault("backend", "device")
     with mesh_mod.use_mesh(mesh):
         w = FrameWriter(out, opts_mod.Options(**kw))
-        w.write(data)
-        w.close()
+        try:
+            w.write(data)
+        finally:
+            w.close()
     return out.getvalue()
 
 

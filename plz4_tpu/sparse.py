@@ -28,7 +28,9 @@ class SparseWriter:
         self._closed = False
 
     def write(self, data) -> int:
-        mv = memoryview(data)
+        # cast to bytes view: a non-uint8 memoryview counts ELEMENTS, which
+        # would record holes itemsize-times too small vs the bytes written
+        mv = memoryview(data).cast("B")
         n = len(mv)
         i = 0
         while i < n:

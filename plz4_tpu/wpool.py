@@ -105,6 +105,7 @@ class WorkerPool:
 
     def _run(self) -> None:
         ident = threading.get_ident()
+        retired = False
         try:
             while True:
                 with self._lock:
@@ -112,12 +113,26 @@ class WorkerPool:
                     self._last_active[ident] = time.monotonic()
                     while not self._queue and not self._closed:
                         if not self._cond.wait(timeout=self._gc_interval):
-                            # idle timeout: retire if above the floor
+                            # Idle timeout: retire if above the floor.
+                            # Two races are closed here: (a) a task
+                            # submitted while this waiter was timing out
+                            # (its notify was consumed by the dead wait) —
+                            # re-check the queue under the lock before
+                            # retiring, else the task is stranded with no
+                            # worker; (b) concurrent retirements dropping
+                            # below min_workers — decrement _workers in
+                            # the SAME locked region as the decision, not
+                            # in the finally, so the next retiree sees the
+                            # updated count.
                             idle_for = (time.monotonic()
                                         - self._last_active[ident])
-                            if (idle_for >= self._max_idle
+                            if (not self._queue
+                                    and idle_for >= self._max_idle
                                     and self._workers > self._min):
                                 self._idle -= 1
+                                self._workers -= 1
+                                self._last_active.pop(ident, None)
+                                retired = True
                                 return
                     self._idle -= 1
                     if self._closed and not self._queue:
@@ -133,9 +148,10 @@ class WorkerPool:
                     fut.set_exception(e)
                     traceback.clear_frames(e.__traceback__)
         finally:
-            with self._lock:
-                self._workers -= 1
-                self._last_active.pop(ident, None)
+            if not retired:
+                with self._lock:
+                    self._workers -= 1
+                    self._last_active.pop(ident, None)
 
     def _gc_loop(self) -> None:
         while True:

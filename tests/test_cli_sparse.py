@@ -153,6 +153,19 @@ def test_sparse_basic_holes():
     assert f.getvalue() == data  # BytesIO zero-fills holes
 
 
+def test_sparse_non_uint8_memoryview():
+    """Regression: non-uint8 buffers are measured in BYTES, not elements
+    (an 'I'-typed memoryview previously recorded holes 4x too small)."""
+    import array
+
+    f = SeekTracker()
+    w = SparseWriter(f)
+    payload = array.array("I", [0x64616568] + [0] * 4096 + [0x6C696174])
+    w.write(payload)
+    w.close()
+    assert f.getvalue() == payload.tobytes()
+
+
 def test_sparse_trailing_hole_commit():
     f = SeekTracker()
     w = SparseWriter(f)

@@ -63,6 +63,20 @@ def test_device_with_dictionary():
                          block_size_idx=desc.BLOCK_IDX_64KB,
                          content_checksum=False)
     assert plz4.decompress(comp, dictionary=dict_) == data
+    # regression: the device DECODE dict path (XLA fallback) — a vmap
+    # positional/keyword collision on out_cap made this raise TypeError
+    assert plz4.decompress(comp, backend="device",
+                           dictionary=dict_) == data
+
+
+def test_device_decode_linked_frame():
+    """Linked frames decoded with backend='device' (serialized carried
+    window through the device dict decoder)."""
+    data = make_compressible(100000, seed=8)
+    comp = plz4.compress(data, block_linked=True, level=1,
+                         block_size_idx=desc.BLOCK_IDX_64KB,
+                         content_checksum=False)
+    assert plz4.decompress(comp, backend="device") == data
 
 
 def test_device_sharded_mesh():

@@ -60,6 +60,36 @@ def test_idle_reaping():
         p.close()
 
 
+def test_submit_during_idle_retirement_not_stranded():
+    """Regression: a task submitted in a worker's idle-timeout window must
+    not be stranded (the retiring worker's wait consumed the notify; it
+    now re-checks the queue under the lock before retiring)."""
+    p = WorkerPool(min_workers=0, max_workers=1, max_idle=0.02,
+                   gc_interval=0.01)
+    try:
+        for _ in range(60):
+            fut = p.submit(lambda: 42)
+            assert fut.result(timeout=5.0) == 42
+            time.sleep(0.015)  # land submits inside the timeout window
+    finally:
+        p.close()
+
+
+def test_concurrent_retirement_respects_floor():
+    """Regression: back-to-back idle retirements could drop below
+    min_workers (decrement happened outside the decision's lock scope)."""
+    p = WorkerPool(min_workers=1, max_workers=4, max_idle=0.02,
+                   gc_interval=0.01)
+    try:
+        futs = [p.submit(time.sleep, 0.03) for _ in range(8)]
+        for f in futs:
+            f.result()
+        time.sleep(0.5)  # let every extra worker hit the idle timeout
+        assert p.stats["workers"] >= 1
+    finally:
+        p.close()
+
+
 def test_close_idempotent_and_rejects():
     p = WorkerPool(max_workers=2)
     p.submit(lambda: 1).result()
