@@ -109,6 +109,10 @@ def compress_block(
         dictionary = dictionary[-WINDOW_SIZE:]
     out = native.compress(src, level=level, dict_=dictionary)
     if dst is not None:
+        if len(dst) < len(out):
+            # a fixed caller-sized buffer must not be silently reallocated
+            # (reference: ErrDstSize, plz4_block.go:109-112)
+            raise zerr.ErrDstSize
         dst[: len(out)] = out
         return bytes(dst[: len(out)])
     return out

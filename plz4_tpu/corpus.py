@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 
-_WORD_BANK = None
-
 
 def _words(rng) -> list[bytes]:
     """Zipf-ish vocabulary: a few hundred common short words, a long tail

@@ -40,15 +40,23 @@ class _HashWorker:
         self._q: queue.Queue = queue.Queue(maxsize=64)
         self._stream = native.Xxh32Stream()
         self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
 
     def _run(self) -> None:
         while True:
             item = self._q.get()
             if item is None:
                 return
-            self._stream.update(item)
+            if self._err is not None:
+                continue  # drain so producers never block on a dead hash
+            try:
+                self._stream.update(item)
+            except BaseException as e:
+                self._err = e
 
     def update(self, data: bytes) -> None:
+        if self._err is not None:
+            raise self._err
         if self._thread is None:
             self._thread = threading.Thread(
                 target=self._run, daemon=True, name="plz4-hash")
@@ -60,6 +68,9 @@ class _HashWorker:
             self._q.put(None)
             self._thread.join()
             self._thread = None
+        if self._err is not None:
+            # a partial hash must never be reported as the content digest
+            raise self._err
         return self._stream.digest()
 
     def stop(self) -> None:
@@ -229,7 +240,9 @@ class FrameWriter:
         `plz4_tpu.write_skip_frame_header` on the raw destination stream —
         this Writer method refuses once its own frame has started."""
         self._check_writable()
-        if self._header_written:
+        if self._header_written or self._stage or self._src_total:
+            # staged-but-unflushed data counts as "frame started": emitting
+            # the skip frame now would reorder it ahead of earlier writes
             raise zerr.ErrSkip
         self._write_out(hdr.write_skip_header(nibble, len(payload)))
         self._write_out(payload)
@@ -273,7 +286,10 @@ class FrameWriter:
             self._err = e
 
     def _write(self, data) -> int:
-        mv = memoryview(data)
+        # cast to a bytes view: for non-uint8 buffers (e.g. an 'I'-typed
+        # array) len(mv) counts ELEMENTS while slices copy bytes, which
+        # would emit oversized blocks and miscount content_size
+        mv = memoryview(data).cast("B")
         consumed = 0
         bs = self._o.block_size
         while consumed < len(mv):

@@ -31,6 +31,12 @@ _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _lib = None
 _lock = threading.Lock()
 _unavailable_reason = None
+_load_failed = False
+
+
+class UpstreamUnavailable(RuntimeError):
+    """Raised when the oracle is called without the reference mount or a
+    working C compiler; gate call sites on available() to degrade."""
 
 
 def available() -> bool:
@@ -71,12 +77,17 @@ def _build() -> str | None:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     with _lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            # negative cache: a failed build would otherwise re-hash both
+            # C sources and re-spawn gcc on every available() call
+            return None
         path = _build()
         if path is None:
+            _load_failed = True
             return None
         lib = ctypes.CDLL(path)
         ci, cp = ctypes.c_int, ctypes.c_char_p
@@ -109,25 +120,35 @@ def _load():
         return _lib
 
 
+def _require():
+    lib = _load()
+    if lib is None:
+        raise UpstreamUnavailable(_unavailable_reason or
+                                  "upstream oracle unavailable")
+    return lib
+
+
 def compress_bound(n: int) -> int:
-    return _load().LZ4_compressBound(n)
+    return _require().LZ4_compressBound(n)
 
 
 def compress_fast(data: bytes, acceleration: int = 1) -> bytes:
-    lib = _load()
+    lib = _require()
     cap = lib.LZ4_compressBound(len(data))
     dst = ctypes.create_string_buffer(cap)
     n = lib.LZ4_compress_fast(data, dst, len(data), cap, acceleration)
-    assert n > 0, "upstream LZ4_compress_fast failed"
+    if n <= 0:
+        raise RuntimeError("upstream LZ4_compress_fast failed")
     return dst.raw[:n]
 
 
 def compress_hc(data: bytes, level: int) -> bytes:
-    lib = _load()
+    lib = _require()
     cap = lib.LZ4_compressBound(len(data))
     dst = ctypes.create_string_buffer(cap)
     n = lib.LZ4_compress_HC(data, dst, len(data), cap, level)
-    assert n > 0, "upstream LZ4_compress_HC failed"
+    if n <= 0:
+        raise RuntimeError("upstream LZ4_compress_HC failed")
     return dst.raw[:n]
 
 
@@ -140,7 +161,7 @@ def compress(data: bytes, level: int) -> bytes:
 
 
 def decompress(comp: bytes, out_cap: int, dict_: bytes | None = None) -> bytes:
-    lib = _load()
+    lib = _require()
     dst = ctypes.create_string_buffer(max(out_cap, 1))
     if dict_:
         n = lib.LZ4_decompress_safe_usingDict(
@@ -159,7 +180,7 @@ def compress_linked(blocks: list[bytes], level: int = 1,
     exactly how the reference produces a linked LZ4 frame: LZ4_loadDict of
     the trailing 64 KiB window before every *_continue call
     (clz4/clz4.go:211-286, compress/linked.go:309-331)."""
-    lib = _load()
+    lib = _require()
     out = []
     window = bytearray(dict_ or b"")
     hc = level > 1
@@ -178,7 +199,8 @@ def compress_linked(blocks: list[bytes], level: int = 1,
                 if w:
                     lib.LZ4_loadDict(st, w, len(w))
                 n = lib.LZ4_compress_fast_continue(st, b, dst, len(b), cap, 1)
-            assert n > 0
+            if n <= 0:
+                raise RuntimeError("upstream *_continue failed")
             out.append(dst.raw[:n])
             window += b
     finally:

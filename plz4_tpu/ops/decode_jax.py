@@ -41,13 +41,7 @@ import numpy as np
 I32 = jnp.int32
 
 
-def _ceil_log2(n: int) -> int:
-    return max(1, math.ceil(math.log2(max(2, n))))
-
-
-def _take(arr, idx):
-    """Gather with clipped indices (out-of-range reads are masked later)."""
-    return jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1))
+from ._array_util import ceil_log2 as _ceil_log2, take as _take
 
 
 def _parse_all_positions(comp: jnp.ndarray, clen: jnp.ndarray):

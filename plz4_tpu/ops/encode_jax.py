@@ -55,12 +55,7 @@ WORD_STEPS = 16    # full extension for the winning candidate
 MAX_DICT = 65536
 
 
-def _ceil_log2(n: int) -> int:
-    return max(1, math.ceil(math.log2(max(2, n))))
-
-
-def _take(arr, idx):
-    return jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1))
+from ._array_util import ceil_log2 as _ceil_log2, take as _take
 
 
 def _orbit(f: jnp.ndarray, start: int, s_max: int) -> jnp.ndarray:

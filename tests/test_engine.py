@@ -193,6 +193,37 @@ def test_writer_skip_frame_method():
     w2.close()
 
 
+def test_writer_skip_frame_rejected_with_staged_data():
+    """Regression: staged-but-unflushed data counts as 'frame started' —
+    a skip frame emitted then would be reordered ahead of the write."""
+    out = io.BytesIO()
+    w = plz4.Writer(out)
+    w.write(b"abc")  # stays in the stage buffer (below one block)
+    with pytest.raises(zerr.Lz4Error):
+        w.write_skip_frame(1, b"late")
+    w.close()
+    assert plz4.decompress(out.getvalue()) == b"abc"
+
+
+def test_writer_accepts_non_uint8_buffers():
+    """Regression: non-uint8 buffers are measured in BYTES (an 'I'-typed
+    array previously produced oversized blocks / wrong content_size)."""
+    import array
+
+    payload = array.array("I", list(range(50000)))
+    out = io.BytesIO()
+    w = plz4.Writer(out, block_size_idx=4, content_size=len(
+        payload.tobytes()))
+    w.write(payload)
+    w.close()
+    assert plz4.decompress(out.getvalue()) == payload.tobytes()
+
+
+def test_compress_block_undersized_dst_raises():
+    with pytest.raises(zerr.Lz4Error):
+        plz4.compress_block(b"hello world " * 500, dst=bytearray(4))
+
+
 def test_skip_frame_between_frames():
     out = io.BytesIO()
     out.write(plz4.compress(b"AAA "))
