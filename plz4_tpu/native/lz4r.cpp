@@ -528,6 +528,61 @@ inline int llext_price(int r) {  // literal-length extension bytes
     return r >= 15 ? 1 + (r - 15) / 255 : 0;
 }
 
+// Exact tail pricing for literal runs r >= 525. llext grows by one byte
+// every 255 run bytes, so a single suffix-min of (g[j] + j) underprices
+// long runs (a 15 KiB run costs 62 extension bytes, not 3) — which made
+// the DP prefer one giant literal run over splitting at a profitable
+// match (observed: +1..+3 bytes vs upstream on mixed corpora). The floor
+// term (r-15)/255 is linear within each residue class j mod 255:
+//   cost(i,j) = 2 + C(j) - i - K,  C(j) = g[j] + j + j/255,
+//   K = Q + (t < R),  where i+15 = 255Q + R and t = j mod 255.
+// A 256-leaf segment tree over the classes gives O(log) point-min inserts
+// (as j enters the r >= 525 region) and the two range-min queries per i.
+struct ResTree {
+    static constexpr int64_t NONE = int64_t(1) << 50;
+    int64_t v[512];
+    int32_t a[512];
+
+    void reset() {
+        for (int k = 0; k < 512; ++k) {
+            v[k] = NONE;
+            a[k] = -1;
+        }
+    }
+
+    void insert(int t, int64_t val, int32_t j) {
+        int k = 256 + t;
+        if (val >= v[k]) return;
+        v[k] = val;
+        a[k] = j;
+        for (k >>= 1; k >= 1; k >>= 1) {
+            if (v[2 * k] <= v[2 * k + 1]) {
+                v[k] = v[2 * k];
+                a[k] = a[2 * k];
+            } else {
+                v[k] = v[2 * k + 1];
+                a[k] = a[2 * k + 1];
+            }
+        }
+    }
+
+    void query(int lo, int hi, int64_t& bv, int32_t& bj) const {
+        bv = NONE;
+        bj = -1;
+        if (lo > hi) return;
+        for (int l = lo + 256, r = hi + 257; l < r; l >>= 1, r >>= 1) {
+            if (l & 1) {
+                if (v[l] < bv) { bv = v[l]; bj = a[l]; }
+                ++l;
+            }
+            if (r & 1) {
+                --r;
+                if (v[r] < bv) { bv = v[r]; bj = a[r]; }
+            }
+        }
+    }
+};
+
 // Monotone deque for a backward-sliding window minimum of (g[j] + j).
 struct WinMin {
     std::vector<int64_t> val;
@@ -558,6 +613,15 @@ struct WinMin {
     int32_t argmin() const { return pos[head]; }
 };
 
+// test-only introspection sink for the optimal parse (lz4r_opt_debug)
+struct OptDbgSink {
+    int32_t* mlen = nullptr;
+    int32_t* moff = nullptr;
+    int64_t* dp = nullptr;
+    int n = 0;
+};
+static thread_local OptDbgSink g_optdbg;
+
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
     if (src_size < 0 || dst_cap <= 0) return -1;
@@ -572,11 +636,20 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     const uint8_t* const iend = src + src_size;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = hc_attempts_for_level(level);
-    // level 12 mirrors upstream's own optimal-parse policy (lz4hc.c:1861:
-    // sufficient_len is clamped to LZ4_OPT_NUM-1 = 4095 and longer matches
-    // are taken immediately) — an unbounded search is not what the
-    // reference's max level does either, and it degenerates on periodic
-    // data (full 65536-attempt chain walks at every position)
+    // Good-enough valve per level, mirroring upstream's targetLength
+    // ladder (lz4hc.c:103-105). KNOWN APPROXIMATION: the valve, the
+    // carried-seed shortcut, and the carry-skip inheritance below can
+    // each leave mlen[] a few bytes below the true longest match at a
+    // position (upstream's finder visits all nbSearches candidates and
+    // uses matches at full length). Measured effect: +1..+3 byte losses
+    // vs upstream on ~1.4% of randomized mixed payloads at L10-12; every
+    // conformance corpus holds at <= upstream, usually with margins of
+    // hundreds to thousands of bytes. Remedies were prototyped and
+    // rejected: an exact two-phase scan (first nbSearches candidates
+    // unconditional) still loses through the seed shortcut and costs
+    // 2-10x on repeat-heavy data; raising the valve thresholds changes
+    // nothing because the residual cases come from carry-skip
+    // inheritance, whose removal costs 11% ratio elsewhere.
     const int sufficient = level >= 12 ? 4095
                           : level >= 11 ? 768 : ChainFinder::SUFFICIENT_LEN;
     // pure-inheritance skip threshold for pass 1 (see below): inside a
@@ -596,8 +669,8 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // blocks. assign() keeps capacity; only the first block per thread
     // faults.
     struct OptScratch {
-        std::vector<int32_t> mlen, moff, g_len, run_of, len_of, sufarg;
-        std::vector<int64_t> dp, g, sufmin;
+        std::vector<int32_t> mlen, moff, g_len, run_of, len_of;
+        std::vector<int64_t> dp, g;
     };
     static thread_local OptScratch sc;
 
@@ -666,6 +739,10 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             }
         }
     }
+    if (g_optdbg.mlen && g_optdbg.n >= n) {
+        std::memcpy(g_optdbg.mlen, mlen.data(), (size_t)n * 4);
+        std::memcpy(g_optdbg.moff, moff.data(), (size_t)n * 4);
+    }
 
     // --- pass 2: backward DP over sequence starts --------------------------
     constexpr int64_t INF = int64_t(1) << 50;
@@ -683,10 +760,8 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     w0.reset(n + 1);
     w1.reset(n + 1);
     w2.reset(n + 1);
-    std::vector<int64_t>& sufmin = sc.sufmin;
-    std::vector<int32_t>& sufarg = sc.sufarg;
-    sufmin.assign(n + 2, INF);  // min (g[j]+j) for j >= i
-    sufarg.assign(n + 2, -1);   // argmin for sufmin
+    static thread_local ResTree rtree;  // exact pricing for r >= 525
+    rtree.reset();
     dp[n] = INF;  // a sequence cannot start at n (handled by final run)
 
     for (int i = n - 1; i >= 0; --i) {
@@ -703,10 +778,12 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                 if (c < best) { best = c; best_l = l; }
             }
             if (ml > 36) {
-                static const int probes[] = {273, 528, 0};
-                for (int k = 0; probes[k]; ++k) {
-                    int l = probes[k];
-                    if (l <= 36 || l > ml) continue;
+                // probe the length just below EVERY extension-byte bump
+                // (l = 273, 528, 783, ... — mlext steps at 274+255k), up
+                // to the 4095 sufficient_len cap: beyond it the finder
+                // already takes maximal matches, and bounding the probe
+                // count keeps RLE blocks (ml ~ n at every position) O(n)
+                for (int l = 273; l <= ml && l < 4351; l += 255) {
                     if (dp[i + l] >= INF) continue;
                     int64_t c = 2 + mlext_price(l) + dp[i + l];
                     if (c < best) { best = c; best_l = l; }
@@ -728,18 +805,9 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             w1.push(i + 15, g[i + 15] + (i + 15));
         if (i + 270 < n && g[i + 270] < INF)
             w2.push(i + 270, g[i + 270] + (i + 270));
-        if (g[i] < INF) {
-            int64_t s = g[i] + i;
-            if (s < sufmin[i + 1]) {
-                sufmin[i] = s;
-                sufarg[i] = i;
-            } else {
-                sufmin[i] = sufmin[i + 1];
-                sufarg[i] = sufarg[i + 1];
-            }
-        } else {
-            sufmin[i] = sufmin[i + 1];
-            sufarg[i] = sufarg[i + 1];
+        if (i + 525 < n && g[i + 525] < INF) {
+            int32_t j = i + 525;
+            rtree.insert(j % 255, g[j] + j + j / 255, j);
         }
         // dp[i]: final-literal-run option, then one option per llext range
         int fin_r = n - i;
@@ -761,16 +829,37 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             int64_t c = 1 + 2 + (w2.min() - i);
             if (c < best) { best = c; best_j = w2.argmin(); }
         }
-        if (i + 525 <= n - 1 && sufmin[i + 525] < INF) {
-            int64_t c = 1 + 3 + (sufmin[i + 525] - i);
-            if (c < best) { best = c; best_j = -2; }
+        if (i + 525 <= n - 1) {
+            // tail: exact per-residue-class pricing (see ResTree). The
+            // root of the tree lower-bounds every tail candidate, so the
+            // two range queries only run when the tail can actually beat
+            // the short-run options — on match-dense data (best small)
+            // this skips in 3 ops
+            int aa = i + 15;
+            int Q = aa / 255, R = aa % 255;
+            if (2 + rtree.v[1] - i - Q - 1 < best) {
+                int64_t v1, v2;
+                int32_t j1, j2;
+                rtree.query(R, 254, v1, j1);
+                rtree.query(0, R - 1, v2, j2);
+                int64_t cand;
+                int32_t cj;
+                if (v2 - 1 < v1) { cand = v2 - 1; cj = j2; }
+                else { cand = v1; cj = j1; }
+                if (cand < ResTree::NONE - 1) {
+                    int64_t c = 2 + cand - i - Q;
+                    if (c < best) { best = c; best_j = cj; }
+                }
+            }
         }
         if (best_j >= 0) best_r = (int)(best_j - i);
-        if (best_j == -2) best_r = sufarg[i + 525] - i;
         dp[i] = best;
         run_of[i] = best_r;
         len_of[i] = best_r >= 0 ? g_len[i + best_r] : 0;
     }
+
+    if (g_optdbg.dp && g_optdbg.n >= n)
+        std::memcpy(g_optdbg.dp, dp.data(), (size_t)(n + 1) * 8);
 
     // --- pass 3: reconstruct + emit ---------------------------------------
     int i = 0;
@@ -985,6 +1074,12 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
 // Public C API
 // ---------------------------------------------------------------------------
 
+// Test-only: run the optimal parse capturing pass-1 match table and the
+// DP cost vector (dp_out needs n+1 entries). Returns compressed size.
+LZ4R_API int lz4r_opt_debug(const uint8_t* src, int src_size, uint8_t* dst,
+                            int dst_cap, int level, int32_t* mlen_out,
+                            int32_t* moff_out, int64_t* dp_out);
+
 LZ4R_API int lz4r_compress_bound(int src_size) {
     if (src_size < 0) return 0;
     return src_size + src_size / 255 + 16;
@@ -1187,6 +1282,19 @@ static int decompress_core(const uint8_t* src, int src_size, uint8_t* base,
 
 // Safe decompress with optional detached dictionary. Returns decompressed
 // size, or -1 on corrupt input / overflow.
+LZ4R_API int lz4r_opt_debug(const uint8_t* src, int src_size, uint8_t* dst,
+                            int dst_cap, int level, int32_t* mlen_out,
+                            int32_t* moff_out, int64_t* dp_out) {
+    g_optdbg.mlen = mlen_out;
+    g_optdbg.moff = moff_out;
+    g_optdbg.dp = dp_out;
+    g_optdbg.n = src_size;
+    int r = compress_opt(src, src, src_size, dst, dst_cap,
+                         level < 9 ? 9 : level);
+    g_optdbg = OptDbgSink{};
+    return r;
+}
+
 LZ4R_API int lz4r_decompress(const uint8_t* src, int src_size, uint8_t* dst,
                              int dst_cap, const uint8_t* dict, int dict_size) {
     return decompress_core(src, src_size, dst, 0, dst_cap, dict, dict_size);

@@ -173,6 +173,53 @@ def test_our_linked_chain_upstream_decodes(level):
         window = (window + raw)[-65536:]
 
 
+# --- randomized cross-fuzz: both directions at random levels ----------------
+
+
+def _structured_payload(rng) -> bytes:
+    """Random mix of compressible / incompressible / periodic / zero
+    segments — the structural shapes that stress parser tiers."""
+    parts = []
+    for _ in range(rng.randrange(1, 8)):
+        kind = rng.randrange(4)
+        n = rng.randrange(1, 20000)
+        if kind == 0:
+            parts.append(make_compressible(n, seed=rng.randrange(1 << 30)))
+        elif kind == 1:
+            parts.append(make_incompressible(n, seed=rng.randrange(1 << 30)))
+        elif kind == 2:
+            p = max(1, rng.randrange(1, 40))
+            parts.append(
+                (make_incompressible(p, seed=rng.randrange(1 << 30))
+                 * (n // p + 1))[:n])
+        else:
+            parts.append(b"\x00" * n)
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_cross_fuzz_random_payloads(seed):
+    """Randomized conformance: our encoders' output decodes bit-exactly
+    through the upstream decoder AND vice versa, at a random level,
+    with and without a random dictionary."""
+    import random
+
+    rng = random.Random(9000 + seed)
+    data = _structured_payload(rng)
+    level = rng.choice([1, 2, 3, 5, 6, 8, 9, 10, 12])
+    dict_ = (None if rng.random() < 0.5 else
+             _structured_payload(rng)[:rng.randrange(16, 65536)])
+
+    ours = native.compress(data, level=level, dict_=dict_)
+    assert up.decompress(ours, len(data), dict_=dict_) == data
+    theirs = (up.compress(data, level) if dict_ is None else None)
+    if theirs is not None:
+        assert native.decompress(theirs, len(data)) == data
+        assert len(ours) <= len(theirs), (
+            f"size contract violated at level {level}: "
+            f"{len(ours)} > {len(theirs)}")
+
+
 # --- frame-level: upstream blocks wrapped in our frames round-trip ----------
 
 
