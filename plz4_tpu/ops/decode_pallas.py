@@ -596,7 +596,7 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     return unpack_words(ow), n_out[0], ok[0] != 0
 
 
-def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
+def _decode_kernel_bw(*refs, vals: bool = False):
     """Byte-wide decode: one byte per int32 SMEM element, so byte
     loads/stores are single ops with no shift/mask RMW, and — measured on
     chip (tools/tpu_kernel_lab.py addrfold) — constant offsets from one
@@ -614,7 +614,17 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
     Output carries 16 slack elements: the fast gate keeps wild writes
     under the logical capacity, clipped careful stores land in the slack.
     (Reference analog of the regime split: LZ4_decompress_generic's
-    shortcut + safe tail, clz4/lz4.c:2016.)"""
+    shortcut + safe tail, clz4/lz4.c:2016.)
+
+    vals=True adds v_ref (VPU-precomputed words, v_ref[p] = 4-byte LE
+    word at byte p): the fast tiers' offset reads become one load + one
+    mask instead of two loads + shift/or. Same scheme as the encode
+    kernels; enabled when the extra comp-sized operand fits SMEM."""
+    if vals:
+        c_ref, v_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref = refs
+    else:
+        c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref = refs
+        v_ref = None
     C = c_ref.shape[0]
     NT = o_ref.shape[0]
     Nl = NT - 16
@@ -792,7 +802,8 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
             o_ref[d + 6] = c_ref[s0 + 6]
             o_ref[d + 7] = c_ref[s0 + 7]
             opl = op + lit
-            off = c_ref[mp] | (c_ref[mp + 1] << 8)
+            off = (v_ref[mp] & 0xFFFF) if vals else (
+                c_ref[mp] | (c_ref[mp + 1] << 8))
             ml = mlr + 4
             bad = (off == 0) | (off > opl)
             eff = jnp.where(bad, jnp.int32(8), off)
@@ -833,7 +844,8 @@ def _decode_kernel_bw(c_ref, clen_ref, o_ref, n_out_ref, ok_ref, w_ref):
                 o_ref[d + 6] = c_ref[s + 6]
                 o_ref[d + 7] = c_ref[s + 7]
             opl = op + lit
-            off = c_ref[mp] | (c_ref[mp + 1] << 8)
+            off = (v_ref[mp] & 0xFFFF) if vals else (
+                c_ref[mp] | (c_ref[mp + 1] << 8))
             ml = mlr + 4
             bad = (off == 0) | (off > opl)
             # widen the offset to its smallest multiple >= 8 (same
@@ -899,17 +911,25 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
     assert C % 4 == 0 and out_cap % 4 == 0
     if out_cap <= _BW_MAX_OUT:
         cb = comp.astype(I32)
+        vals = 2 * C + out_cap + 16 <= 230 * 1024
+        inputs = [cb]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if vals:
+            pad = jnp.concatenate([cb, jnp.zeros((3,), I32)])
+            v = (pad[:-3] | (pad[1:-2] << 8) | (pad[2:-1] << 16)
+                 | (pad[3:] << 24))
+            inputs.append(v)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.reshape(clen.astype(I32), (1,)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ob, n_out, ok = pl.pallas_call(
-            _decode_kernel_bw,
+            functools.partial(_decode_kernel_bw, vals=vals),
             out_shape=(
                 jax.ShapeDtypeStruct((out_cap + 16,), I32),
                 jax.ShapeDtypeStruct((1,), I32),
                 jax.ShapeDtypeStruct((1,), I32),
             ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -917,7 +937,7 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
             ),
             scratch_shapes=[pltpu.SMEM((8,), I32)],
             interpret=interpret,
-        )(cb, jnp.reshape(clen.astype(I32), (1,)))
+        )(*inputs)
         return ob[:out_cap].astype(jnp.uint8), n_out[0], ok[0] != 0
     # tail slack so unaligned word reads near clen never hit the clip guard
     comp = jnp.concatenate([comp, jnp.zeros((8,), dtype=comp.dtype)])
