@@ -199,6 +199,11 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     # silently zeroed the old scheme's estimate.
     K_ENC_LO = max(1, K_ENC // 4)
     K_RT_LO = max(1, K_RT // 4)
+    # the iteration delta must be nonzero (K=1 via env would divide by 0)
+    if K_ENC_LO == K_ENC:
+        K_ENC += 1
+    if K_RT_LO == K_RT:
+        K_RT += 1
 
     # compile everything first
     int(enc_k(data, lens, K_ENC, True))
@@ -361,7 +366,9 @@ def main() -> None:
             "unit": "GB/s",
             "vs_baseline": round(device_rt / native_rt, 4),
         }))
-    except BaseException as e:  # device/tunnel fault: still report something
+    except Exception as e:  # device/tunnel fault: still report something
+        # (Exception, not BaseException: Ctrl-C/SystemExit must abort the
+        # run, not print a legitimate-looking fallback line)
         signal.alarm(0)
         _log(f"device bench failed ({type(e).__name__}: {e}); "
              "reporting host-backend throughput")

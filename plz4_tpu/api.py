@@ -77,7 +77,8 @@ class DictContext:
     """Reusable dictionary for the raw block API: builds the window's match
     tables once so many small records compress without per-call dictionary
     loading (reference analog: attached dict contexts,
-    compress/indie.go:235-287)."""
+    compress/indie.go:235-287). compress_block is NOT thread-safe — use
+    one context per thread; decompress_block is stateless and shareable."""
 
     def __init__(self, dictionary: bytes) -> None:
         self._ctx = native.DictContext(dictionary)

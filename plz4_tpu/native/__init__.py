@@ -282,8 +282,11 @@ def compress_bound(src_size: int) -> int:
 
 
 def compress(src: bytes, level: int = 1, dict_: bytes | None = None) -> bytes:
-    """Compress one LZ4 block. Raises ErrCompress when incompressible (the
-    caller stores the block raw — reference: blk/blk.go:75-92)."""
+    """Compress one LZ4 block into a bound-sized buffer; may return output
+    LARGER than src (bound always has slack). ErrCompress signals codec
+    failure only — the store-raw-if-expanded decision belongs to callers
+    with a real cap (compress_into / the batch calls / the frame writer,
+    reference: blk/blk.go:75-92)."""
     ext = _ext if _ext_tried else _load_ext()
     if ext is not None:
         r = ext.block_compress(src, int(level), dict_)
@@ -449,7 +452,13 @@ class DictContext:
     """Reusable compression dictionary (reference analog: the attached-dict
     compressor contexts, compress/indie.go:235-263). Build once, compress
     many small records against the same 64 KiB window without re-loading
-    it each call."""
+    it each call.
+
+    NOT thread-safe for concurrent compress() calls: the C context
+    mutates shared scratch/state (lz4r.cpp Lz4rDictCtx) and the GIL is
+    released around the call — use one context per thread (same contract
+    as the reference's per-goroutine contexts and StreamCompressor).
+    decompress() is stateless and safe to share."""
 
     def __init__(self, dictionary: bytes) -> None:
         self._lib = _load()

@@ -18,6 +18,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <limits.h>
 #include <stdint.h>
 
 /* lz4r entry points (compiled into this same .so from lz4r.cpp; C
@@ -39,19 +40,45 @@ extern void lz4r_dict_free(Lz4rDictCtx*);
 }
 #endif
 
-/* one reusable output scratch per thread (__thread: works as C and C++) */
+/* One reusable output scratch per thread. A pthread key destructor frees
+ * it at thread exit — plain __thread pointers have no destructor, which
+ * would leak up to compress_bound(largest input) per short-lived thread
+ * in servers with thread churn. */
+#include <pthread.h>
+
+static pthread_key_t tl_key;
+static pthread_once_t tl_once = PTHREAD_ONCE_INIT;
+
+static void tl_free(void* p) { PyMem_RawFree(p); }
+
+static void tl_make_key(void) { pthread_key_create(&tl_key, tl_free); }
+
 static __thread uint8_t* tl_buf = NULL;
 static __thread Py_ssize_t tl_cap = 0;
 
 static uint8_t* get_buf(Py_ssize_t need) {
-    if (need <= tl_cap) return tl_buf;
+    if (need <= tl_cap && tl_buf) return tl_buf;
     Py_ssize_t cap = need < (1 << 16) ? (1 << 16) : need;
     uint8_t* b = (uint8_t*)PyMem_RawMalloc((size_t)cap);
     if (!b) return NULL;
     PyMem_RawFree(tl_buf);
     tl_buf = b;
     tl_cap = cap;
+    pthread_once(&tl_once, tl_make_key);
+    pthread_setspecific(tl_key, b);
     return b;
+}
+
+/* the lz4r ABI takes int sizes: reject anything that would truncate
+ * (the ctypes fallback fails loudly on c_int overflow; the extension
+ * must not silently compress a 2 GiB prefix of nothing) */
+static int check_int_size(Py_ssize_t n, const char* what) {
+    if (n > INT_MAX) {
+        PyErr_Format(PyExc_OverflowError, "%s too large for lz4 block: %zd",
+                     what, n);
+        return 0;
+    }
+    return 1;
 }
 
 /* block_compress(src: bytes-like, level: int, dict: bytes-like|None)
@@ -61,6 +88,10 @@ static PyObject* py_block_compress(PyObject* self, PyObject* args) {
     int level;
     PyObject* dict_obj;
     if (!PyArg_ParseTuple(args, "y*iO", &src, &level, &dict_obj)) return NULL;
+    if (!check_int_size(src.len, "source")) {
+        PyBuffer_Release(&src);
+        return NULL;
+    }
     dict.buf = NULL;
     dict.len = 0;
     if (dict_obj != Py_None) {
@@ -95,6 +126,11 @@ static PyObject* py_block_decompress(PyObject* self, PyObject* args) {
     if (!PyArg_ParseTuple(args, "y*nO", &src, &dst_cap, &dict_obj))
         return NULL;
     if (dst_cap < 0) dst_cap = 0;
+    if (!check_int_size(src.len, "source") ||
+        !check_int_size(dst_cap, "dst_cap")) {
+        PyBuffer_Release(&src);
+        return NULL;
+    }
     dict.buf = NULL;
     dict.len = 0;
     if (dict_obj != Py_None) {
@@ -141,6 +177,10 @@ static PyObject* py_dict_compress(PyObject* self, PyObject* args) {
     Py_buffer src;
     int level;
     if (!PyArg_ParseTuple(args, "Oy*i", &cap_obj, &src, &level)) return NULL;
+    if (!check_int_size(src.len, "source")) {
+        PyBuffer_Release(&src);
+        return NULL;
+    }
     Lz4rDictCtx* c =
         (Lz4rDictCtx*)PyCapsule_GetPointer(cap_obj, "plz4.dictctx");
     if (!c) {

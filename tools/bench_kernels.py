@@ -23,12 +23,22 @@ import bench as benchmod
 
 
 def main():
-    which = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "enc", "mid", "dec"]
+    args = sys.argv[1:]
+    which = []
     k = 32
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--k"):
-            k = int(a.split("=")[1])
+            if "=" in a:
+                k = int(a.split("=")[1])
+            else:
+                i += 1
+                k = int(args[i])
+        else:
+            which.append(a)
+        i += 1
+    which = which or ["enc", "mid", "dec"]
 
     plz4_tpu.enable_compile_cache()
     import jax
@@ -69,6 +79,8 @@ def main():
         # bodies, which silently zeroed the old subtract-hoistable-loop
         # scheme), and cancels the tunnel's fixed dispatch latency.
         klo = max(1, kk // 4)
+        if klo == kk:
+            kk += 1
         int(kfn(True, kk))
         int(kfn(True, klo))
         t_hi = min(timed(lambda: int(kfn(True, kk)))[1] for _ in range(3))
@@ -116,11 +128,13 @@ def main():
                 return acc + jnp.sum(n_out), bad | ~good
             acc, bad = jax.lax.fori_loop(0, k, body,
                                          (jnp.int32(0), jnp.bool_(False)))
-            return acc + bad.astype(jnp.int32) * (1 << 30)
+            # bounded accumulator + sign sentinel: a raw sum collides with
+            # the sentinel at k>=512 and overflows int32 at k>=1024
+            return jnp.where(bad, jnp.int32(-1), acc % (1 << 20))
 
         def run(vary, kk):
             r = int(dec_k(vary, kk))
-            assert r < (1 << 30), "round-trip mismatch"
+            assert r >= 0, "round-trip mismatch"
             return r
 
         measure("dec", run, k)
