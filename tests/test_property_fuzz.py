@@ -86,3 +86,54 @@ def test_device_decoder_property(seed):
     comp = native.compress(data, level=int(rng.integers(1, 13)))
     out = decode_jax.decode_block_host(comp, out_cap=max(len(data), 16))
     assert out == data
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_full_option_matrix_streaming_property(seed):
+    """Randomized full-matrix property: random options x random payload x
+    random streaming chunk pattern with interleaved flushes, decoded both
+    one-shot and through chunked Reader reads (byte-exact)."""
+    import io
+    import random
+
+    rng = random.Random(4000 + seed)
+    nprng = np.random.default_rng(4000 + seed)
+    data = _gen(nprng, int(nprng.integers(0, 90_000)))
+    kw = dict(
+        level=rng.choice([1, 2, 3, 6, 9, 12]),
+        block_size_idx=rng.choice([4, 5]),
+        block_linked=rng.random() < 0.4,
+        block_checksum=rng.random() < 0.3,
+        content_checksum=rng.random() < 0.5,
+        parallel=rng.choice([0, 1, 3, -1]),
+    )
+    if rng.random() < 0.3:
+        kw["content_size"] = len(data)
+    dkw = {}
+    if rng.random() < 0.25 and not kw["block_linked"]:
+        kw["dictionary"] = bytes(_gen(nprng, rng.randrange(1, 70000))) or b"x"
+        dkw["dictionary"] = kw["dictionary"]
+
+    buf = io.BytesIO()
+    w = plz4.Writer(buf, **kw)
+    i = 0
+    while i < len(data):
+        step = rng.randrange(1, 30000)
+        w.write(data[i:i + step])
+        i += step
+        if rng.random() < 0.1:
+            w.flush()
+    w.close()
+    comp = buf.getvalue()
+
+    assert plz4.decompress(comp, parallel=rng.choice([0, 2, -1]),
+                           **dkw) == data
+    r = plz4.Reader(io.BytesIO(comp), **dkw)
+    got = bytearray()
+    while True:
+        chunk = r.read(rng.randrange(1, 50000))
+        if not chunk:
+            break
+        got += chunk
+    r.close()
+    assert bytes(got) == data
