@@ -143,6 +143,66 @@ def _encode_chunk(view, spans, level, cap):
     ]
 
 
+def _encode_chunk_wire(view, spans, level, cap, bx):
+    """Worker: compress a chunk of block spans AND assemble the chunk's
+    frame wire bytes (size words, raw-fallback flag, optional block
+    checksums) in one pass. The batch call writes each block's compressed
+    data 4 bytes past its slot start so the size word drops straight in
+    front — framing runs inside the worker (parallel, one output copy)
+    instead of serially per block on the caller thread."""
+    import ctypes
+
+    lib = native._load()
+    n = len(spans)
+    tail = 4 if bx else 0
+    slot = 4 + cap + tail
+    dst = native.buffer_pool.take(n * slot)
+    views = [view[a:b] for a, b in spans]
+    nviews = [np.frombuffer(v, dtype=np.uint8) for v in views]
+    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in nviews])
+    sizes = np.array([b - a for a, b in spans], np.int32)
+    dst_offs = np.arange(n, dtype=np.int64) * slot + 4
+    out_sizes = np.zeros(n, np.int32)
+    lib.lz4r_compress_batch_ptrs(
+        srcs, native._i32p(sizes), n,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        native._i64p(dst_offs), np.int32(cap), native._i32p(out_sizes),
+        int(level))
+    import struct
+
+    dmv = memoryview(dst)
+    sz_list = out_sizes.tolist()
+    blen_list = sizes.tolist()
+    total = 0
+    stored = []
+    for i in range(n):
+        sz = sz_list[i]
+        blen = blen_list[i]
+        base = i * slot
+        if sz <= 0 or sz >= blen:  # incompressible: store raw
+            dmv[base + 4 : base + 4 + blen] = views[i]
+            word = blen | 0x80000000
+            sz = blen
+        else:
+            word = sz
+        struct.pack_into("<I", dmv, base, word)
+        if bx:
+            csum = native.xxh32(dst[base + 4 : base + 4 + sz])
+            struct.pack_into("<I", dmv, base + 4 + sz, csum)
+        ln = 4 + sz + tail
+        stored.append(ln)
+        total += ln
+    wire = bytearray(total)
+    pos = 0
+    for i in range(n):
+        ln = stored[i]
+        base = i * slot
+        wire[pos : pos + ln] = dmv[base : base + ln]
+        pos += ln
+    native.buffer_pool.give(dst)
+    return wire  # bytes-like; the caller's b"".join accepts it
+
+
 def _submitter(o: Options):
     """(submit, cleanup) pair: the caller's shared worker pool when set
     (WithWorkerPool analog — keeps the process-wide thread cap intact),
@@ -164,9 +224,7 @@ def compress_bytes(data: bytes, o: Options):
             or o.backend == "device" or o.resolved_parallel() == 0
             or len(data) == 0):
         return None
-    from . import writer as wmod
-    from ..frame import block_io, trailer
-    from ..frame import header as hdr_mod
+    from ..frame import header as hdr_mod, trailer
 
     bs = o.block_size
     view = memoryview(data)
@@ -178,7 +236,8 @@ def compress_bytes(data: bytes, o: Options):
     submit, cleanup = _submitter(o)
     try:
         futs = [
-            submit(_encode_chunk, view, spans[i : i + per], o.level, bs)
+            submit(_encode_chunk_wire, view, spans[i : i + per], o.level,
+                   bs, o.block_checksum)
             for i in range(0, len(spans), per)
         ]
         content_hash = (native.xxh32(np.frombuffer(data, dtype=np.uint8))
@@ -191,16 +250,10 @@ def compress_bytes(data: bytes, o: Options):
             content_size=o.content_size,
             dict_id=o.dict_id,
         )]
-        for fut in futs:
-            for stored, raw in fut.result():
-                pieces.append(block_io.frame_block(
-                    bytes(stored) if isinstance(stored, memoryview)
-                    else stored,
-                    raw, o.block_checksum, hash_fn=native.xxh32))
+        pieces.extend(fut.result() for fut in futs)
         if o.content_size is not None and o.content_size != len(data):
             raise zerr.ErrContentSize
         pieces.append(trailer.write_trailer(content_hash))
-        del wmod
         return b"".join(pieces)
     finally:
         cleanup()
