@@ -133,16 +133,6 @@ def _decode_chunk_into(data, blocks, cap, out_buf, out_offs):
     return sizes
 
 
-def _encode_chunk(view, spans, level, cap):
-    """Worker: compress a chunk of block spans; one C batch call."""
-    blocks = [view[a:b] for a, b in spans]
-    outs = native.compress_batch(blocks, cap_each=cap, level=level)
-    return [
-        (blocks[i], True) if outs[i] is None else (outs[i], False)
-        for i in range(len(blocks))
-    ]
-
-
 def _encode_chunk_wire(view, spans, level, cap, bx):
     """Worker: compress a chunk of block spans AND assemble the chunk's
     frame wire bytes (size words, raw-fallback flag, optional block
@@ -150,56 +140,50 @@ def _encode_chunk_wire(view, spans, level, cap, bx):
     data 4 bytes past its slot start so the size word drops straight in
     front — framing runs inside the worker (parallel, one output copy)
     instead of serially per block on the caller thread."""
-    import ctypes
+    import struct
 
-    lib = native._load()
     n = len(spans)
     tail = 4 if bx else 0
     slot = 4 + cap + tail
-    dst = native.buffer_pool.take(n * slot)
     views = [view[a:b] for a, b in spans]
-    nviews = [np.frombuffer(v, dtype=np.uint8) for v in views]
-    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in nviews])
-    sizes = np.array([b - a for a, b in spans], np.int32)
-    dst_offs = np.arange(n, dtype=np.int64) * slot + 4
-    out_sizes = np.zeros(n, np.int32)
-    lib.lz4r_compress_batch_ptrs(
-        srcs, native._i32p(sizes), n,
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        native._i64p(dst_offs), np.int32(cap), native._i32p(out_sizes),
-        int(level))
-    import struct
-
-    dmv = memoryview(dst)
-    sz_list = out_sizes.tolist()
-    blen_list = sizes.tolist()
-    total = 0
-    stored = []
-    for i in range(n):
-        sz = sz_list[i]
-        blen = blen_list[i]
-        base = i * slot
-        if sz <= 0 or sz >= blen:  # incompressible: store raw
-            dmv[base + 4 : base + 4 + blen] = views[i]
-            word = blen | 0x80000000
-            sz = blen
-        else:
-            word = sz
-        struct.pack_into("<I", dmv, base, word)
-        if bx:
-            csum = native.xxh32(dst[base + 4 : base + 4 + sz])
-            struct.pack_into("<I", dmv, base + 4 + sz, csum)
-        ln = 4 + sz + tail
-        stored.append(ln)
-        total += ln
-    wire = bytearray(total)
-    pos = 0
-    for i in range(n):
-        ln = stored[i]
-        base = i * slot
-        wire[pos : pos + ln] = dmv[base : base + ln]
-        pos += ln
-    native.buffer_pool.give(dst)
+    dst = native.buffer_pool.take(n * slot)
+    try:
+        out_sizes = native.compress_batch_into(
+            views, dst, np.arange(n, dtype=np.int64) * slot + 4, cap,
+            level=level)
+        dmv = memoryview(dst)
+        sz_list = out_sizes.tolist()
+        total = 0
+        stored = []
+        for i in range(n):
+            sz = sz_list[i]
+            a, b = spans[i]
+            blen = b - a
+            base = i * slot
+            if sz <= 0 or sz >= blen:  # incompressible: store raw
+                dmv[base + 4 : base + 4 + blen] = views[i]
+                word = blen | 0x80000000
+                sz = blen
+            else:
+                word = sz
+            struct.pack_into("<I", dmv, base, word)
+            if bx:
+                csum = native.xxh32(dst[base + 4 : base + 4 + sz])
+                struct.pack_into("<I", dmv, base + 4 + sz, csum)
+            ln = 4 + sz + tail
+            stored.append(ln)
+            total += ln
+        wire = bytearray(total)
+        pos = 0
+        for i in range(n):
+            ln = stored[i]
+            base = i * slot
+            wire[pos : pos + ln] = dmv[base : base + ln]
+            pos += ln
+    finally:
+        # dst is private to this worker, so returning it on error paths is
+        # safe (unlike decompress_bytes' shared buffer — see its comment)
+        native.buffer_pool.give(dst)
     return wire  # bytes-like; the caller's b"".join accepts it
 
 
@@ -218,7 +202,8 @@ def compress_bytes(data: bytes, o: Options):
     """Fast one-shot compress; returns bytes or None to fall back.
 
     Parses nothing — just blocks the input, fans chunks to the pool (each
-    chunk one GIL-releasing C batch call), frames on the caller thread, and
+    chunk one GIL-releasing C batch call that also assembles the chunk's
+    frame wire bytes in the worker), and
     computes the content checksum with one one-shot native xxh32 pass."""
     if (o.progress is not None or o.block_linked or o.dictionary is not None
             or o.backend == "device" or o.resolved_parallel() == 0

@@ -425,6 +425,27 @@ def decompress_batch(blocks: list[bytes], cap_each: int) -> list:
     return out
 
 
+def compress_batch_into(blocks: list, dst_arr: np.ndarray,
+                        dst_offsets: np.ndarray, cap_each: int,
+                        level: int = 1) -> np.ndarray:
+    """Compress many blocks in ONE C call directly into caller-chosen
+    offsets of one output buffer (the one-shot fast path assembles frame
+    wire bytes around the results in place). Returns per-block compressed
+    sizes; <= 0 or >= the block length means store raw."""
+    lib = _load()
+    n = len(blocks)
+    views = [np.frombuffer(b, dtype=np.uint8) for b in blocks]
+    srcs = (ctypes.c_char_p * n)(*[v.ctypes.data for v in views])
+    sizes = np.array([len(b) for b in blocks], np.int32)
+    out_sizes = np.zeros(n, np.int32)
+    lib.lz4r_compress_batch_ptrs(
+        srcs, _i32p(sizes), n,
+        dst_arr.ctypes.data_as(_U8P), _i64p(np.ascontiguousarray(
+            dst_offsets, dtype=np.int64)),
+        np.int32(cap_each), _i32p(out_sizes), int(level))
+    return out_sizes
+
+
 def decompress_batch_into(blocks: list, dst_arr: np.ndarray,
                           dst_offsets: np.ndarray, cap_each: int
                           ) -> np.ndarray:

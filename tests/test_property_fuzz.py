@@ -31,7 +31,10 @@ def _gen(rng: np.random.Generator, size: int) -> bytes:
         arr = np.zeros(size, dtype=np.uint8)
         for _ in range(int(rng.integers(1, 8))):
             start = int(rng.integers(0, max(1, size - 10)))
-            ln = int(rng.integers(1, min(200, size - start)))
+            hi = min(200, size - start)
+            if hi <= 1:
+                continue
+            ln = int(rng.integers(1, hi))
             arr[start : start + ln] = rng.integers(0, 256, ln)
         return arr.tobytes()
     if kind == 4:  # text-ish
