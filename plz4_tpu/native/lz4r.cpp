@@ -640,16 +640,16 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // ladder (lz4hc.c:103-105). KNOWN APPROXIMATION: the valve, the
     // carried-seed shortcut, and the carry-skip inheritance below can
     // each leave mlen[] a few bytes below the true longest match at a
-    // position (upstream's finder visits all nbSearches candidates and
-    // uses matches at full length). Measured effect: +1..+3 byte losses
-    // vs upstream on ~1.4% of randomized mixed payloads at L10-12; every
-    // conformance corpus holds at <= upstream, usually with margins of
-    // hundreds to thousands of bytes. Remedies were prototyped and
-    // rejected: an exact two-phase scan (first nbSearches candidates
-    // unconditional) still loses through the seed shortcut and costs
-    // 2-10x on repeat-heavy data; raising the valve thresholds changes
-    // nothing because the residual cases come from carry-skip
-    // inheritance, whose removal costs 11% ratio elsewhere.
+    // position. Measured effect: ~1% of ADVERSARIAL randomized mixed
+    // payloads lose 1-10 bytes to upstream at SOME level (any level —
+    // two different search heuristics cannot dominate each other
+    // pointwise on all inputs); every realistic conformance corpus holds
+    // at <= upstream, usually with margins of hundreds to thousands of
+    // bytes. Remedies prototyped and rejected: an exact two-phase scan
+    // (first nbSearches candidates unconditional) still loses through
+    // the seed shortcut and costs 2-10x on repeat-heavy data; a
+    // 16-candidate linger after the valve changes nothing measurable;
+    // denser carry re-search costs 11% ratio elsewhere.
     const int sufficient = level >= 12 ? 4095
                           : level >= 11 ? 768 : ChainFinder::SUFFICIENT_LEN;
     // pure-inheritance skip threshold for pass 1 (see below): inside a
