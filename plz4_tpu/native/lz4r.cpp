@@ -65,6 +65,35 @@ inline uint32_t hash5(const uint8_t* p, int hashlog) {
     return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
 }
 
+// Forward run length of byte `b` starting at p, up to limit.
+inline int count_run_fwd(const uint8_t* p, const uint8_t* limit, uint8_t b) {
+    const uint8_t* const s = p;
+    const uint64_t pat = 0x0101010101010101ull * b;
+    while (p + 8 <= limit) {
+        uint64_t v;
+        std::memcpy(&v, p, 8);
+        uint64_t diff = v ^ pat;
+        if (diff) return (int)(p - s) + (__builtin_ctzll(diff) >> 3);
+        p += 8;
+    }
+    while (p < limit && *p == b) ++p;
+    return (int)(p - s);
+}
+
+// Backward run length of byte `b` ending just before p, down to low.
+inline int count_run_bwd(const uint8_t* p, const uint8_t* low, uint8_t b) {
+    const uint8_t* const s = p;
+    const uint64_t pat = 0x0101010101010101ull * b;
+    while (p - 8 >= low) {
+        uint64_t v;
+        std::memcpy(&v, p - 8, 8);
+        if (v != pat) break;
+        p -= 8;
+    }
+    while (p > low && p[-1] == b) --p;
+    return (int)(s - p);
+}
+
 // Count matching bytes between [pa, limit) and pb (pb behind pa).
 inline int count_match(const uint8_t* pa, const uint8_t* pb, const uint8_t* limit) {
     const uint8_t* const start = pa;
@@ -377,6 +406,30 @@ struct ChainFinder {
     // found at an earlier position): the boundary filter then rejects all
     // non-improving candidates in ~2 loads, making a full re-search at
     // carried positions cheap while still discovering longer fresh matches.
+    //
+    // Two chain-acceleration devices (reference analogs in
+    // LZ4HC_InsertAndGetWiderMatch, lz4hc.c:885):
+    //
+    // * CHAIN SWAP (lz4hc.c:964 "select a better chain"): any candidate c
+    //   that can beat the current best of length L must reproduce ip's
+    //   content over [0, L), so c+k lies in the hash bucket of the 4-gram
+    //   at ip+k for every k <= L-4. After a new best, scan the best match's
+    //   span for the gram whose chain has the LARGEST back-step and follow
+    //   that chain instead — candidates that cannot beat L are skipped
+    //   geometrically, and a gram with no earlier occurrence proves no
+    //   beater exists at all. Stepping from a bucket member keeps bucket
+    //   membership inductively, so no potential beater (with offset >
+    //   chosen k; shorter-offset periodic beaters are the same concession
+    //   upstream makes) is ever skipped.
+    //
+    // * PATTERN ANALYSIS (lz4hc.c:987-1059): inside single-byte runs every
+    //   position hashes to one bucket, so chains are dense (delta == 1)
+    //   and a plain walk is O(run) per candidate. When the probe gram is
+    //   byte-uniform and the chain is dense, measure the candidate's run
+    //   segment once; the in-segment maximum is attained either at the
+    //   pattern-fit position (source run aligned to the segment's run end,
+    //   which may extend past the run) or at the segment start — evaluate
+    //   both exactly and jump the walk to before the whole segment.
     int find(const uint8_t* ip, const uint8_t* matchlimit, int nb_attempts,
              const uint8_t** mpos, int sufficient = SUFFICIENT_LEN,
              int seed_len = 0, int seed_off = 0) {
@@ -396,8 +449,14 @@ struct ChainFinder {
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
         if (lowest < floor_pos) lowest = floor_pos;
         uint32_t first4 = read32(ip);
+        uint32_t mcp = 0;                       // chain-swap gram offset
+        bool need_swap = best >= MINMATCH;      // seed arms a swap
+        const bool pa_ok = first4 == 0x01010101u * (uint8_t)first4;
+        const uint8_t pb = (uint8_t)first4;
+        int src_run = -1;                       // lazily measured
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
-            const uint8_t* mp = wbase + (cand - 1);
+            uint32_t cpos = cand - 1;
+            const uint8_t* mp = wbase + cpos;
             if (best >= MINMATCH) {
                 // extension-first evaluation: count from the best-so-far
                 // boundary — candidates that merely TIE stop in O(1), and
@@ -414,6 +473,7 @@ struct ChainFinder {
                             *mpos = mp;
                             if (ip + best >= matchlimit) break;
                             if (best >= sufficient) break;
+                            need_swap = true;
                         }
                     }
                 }
@@ -424,9 +484,102 @@ struct ChainFinder {
                     *mpos = mp;
                     if (ip + best >= matchlimit) break;  // cannot improve
                     if (best >= sufficient) break;       // good enough
+                    need_swap = true;
                 }
             }
-            cand = chain[(cand - 1) & 0xFFFF];
+            // --- pattern analysis: dense chain inside a single-byte run ---
+            if (pa_ok && mcp == 0 && chain[cpos & 0xFFFF] == cpos &&
+                read32(mp) == first4) {
+                if (src_run < 0)
+                    src_run = MINMATCH +
+                              count_run_fwd(ip + MINMATCH, matchlimit, pb);
+                // candidate runs may legitimately extend past matchlimit
+                // (the last 5 bytes exist; they just can't host a match
+                // START) — count to the true buffer end for exact segment
+                // arithmetic
+                int fwd = MINMATCH + count_run_fwd(mp + MINMATCH,
+                                                   matchlimit + LASTLITERALS,
+                                                   pb);
+                int back = count_run_bwd(mp, low_base, pb);
+                uint32_t s = cpos - (uint32_t)back;
+                if (s < lowest) s = lowest;
+                int seg = (int)(cpos - s) + fwd;
+                uint32_t q1 = (seg >= src_run && fwd <= src_run)
+                                  ? s + (uint32_t)(seg - src_run)
+                                  : s;
+                const uint32_t probes[2] = {q1, s};
+                for (uint32_t qp : probes) {
+                    if (qp >= pos) continue;
+                    int len = count_match(ip, wbase + qp, matchlimit);
+                    if (len > best) {
+                        best = len;
+                        *mpos = wbase + qp;
+                        need_swap = true;
+                    }
+                }
+                if (best >= MINMATCH &&
+                    (ip + best >= matchlimit || best >= sufficient))
+                    break;
+                // skip the whole dense segment (beaters below s only);
+                // a swap inside the span would just re-walk the run
+                need_swap = false;
+                uint32_t nxt = chain[s & 0xFFFF];
+                if (nxt == 0 || nxt - 1 < floor_pos || nxt - 1 >= s) break;
+                cand = nxt;
+                continue;
+            }
+            // --- chain swap: re-pick the sparsest gram chain in the span ---
+            if (need_swap) {
+                uint32_t bpos = (uint32_t)(*mpos - wbase);
+                // stepping from bpos+mcp enumerates bucket members below
+                // it; candidates in (bpos, cpos) would be skipped unsoundly
+                // — stay armed until the walk reaches the best position
+                // (always immediate on an improvement, where bpos == cpos;
+                // deferred for a seed whose offset is smaller than the
+                // head candidate's)
+                if (bpos < cpos) goto no_swap;
+                need_swap = false;
+                if (best > MINMATCH && bpos + (uint32_t)best <= pos) {
+                    int end = best - MINMATCH;  // span gram offsets [0, end]
+                    uint32_t bestd = 0, bmcp = 0;
+                    bool dead = false;
+                    int accel = 1 << 4;  // accelerating scan on long spans
+                    for (int p2 = 0; p2 <= end;) {
+                        uint32_t q = bpos + (uint32_t)p2;
+                        uint32_t nx = chain[q & 0xFFFF];
+                        if (nx == 0 || nx - 1 < floor_pos) {
+                            dead = true;
+                            break;
+                        }
+                        uint32_t d = q - (nx - 1);
+                        if (d > bestd) {
+                            bestd = d;
+                            bmcp = (uint32_t)p2;
+                            accel = 1 << 4;
+                        }
+                        p2 += (accel++ >> 4);
+                    }
+                    // a span gram with no earlier occurrence proves no
+                    // candidate below can reproduce ip[0..best): done
+                    if (dead) break;
+                    if (bestd > 1) {
+                        mcp = bmcp;
+                        uint32_t member = chain[(bpos + mcp) & 0xFFFF] - 1;
+                        if (member < mcp) break;
+                        cand = member - mcp + 1;
+                        continue;
+                    }
+                }
+            }
+            // --- step within the current gram bucket ---
+        no_swap:
+            {
+                uint32_t nx = chain[(cpos + mcp) & 0xFFFF];
+                if (nx == 0) break;
+                uint32_t member = nx - 1;
+                if (member < floor_pos || member < mcp) break;
+                cand = member - mcp + 1;
+            }
         }
         return best >= MINMATCH ? best : 0;
     }
