@@ -857,6 +857,24 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         int carry_len = 0, carry_off = 0;
         for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
+            if (carry_len > 64 && carry_off > 8) {
+                // A fresh byte-run can START under a carried far match, and
+                // its off=1 self-match (spanning the whole run, including
+                // not-yet-encoded bytes — the LZ4 RLE idiom upstream emits
+                // via its pattern analysis) can be much longer than the
+                // carried tail. Probe it before trusting the carry: without
+                // this, run-heavy payloads lost ~1% size to upstream at
+                // L9-12 (the skip glides over the run start and the DP
+                // never sees the long cheap match).
+                const uint8_t b0 = *ip;
+                if (ip[-1] == b0 && read32(ip) == 0x01010101u * b0) {
+                    int rl = count_run_fwd(ip, matchlimit, b0);
+                    if (rl > carry_len) {
+                        carry_len = rl;
+                        carry_off = 1;
+                    }
+                }
+            }
             if (carry_len > 64 && (carry_off <= 8 || carry_len >= skip_len)) {
                 // RLE-ish region (period <= 8): nothing longer can start
                 // mid-run, and a full search would count the whole run per
