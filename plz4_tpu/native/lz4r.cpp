@@ -22,6 +22,9 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#ifdef PLZ4_STATS
+#include <chrono>
+#endif
 
 #define LZ4R_API extern "C" __attribute__((visibility("default")))
 
@@ -31,6 +34,27 @@ constexpr int MINMATCH = 4;
 constexpr int MFLIMIT = 12;       // last match must start >= 12 bytes from end
 constexpr int LASTLITERALS = 5;   // last 5 bytes are always literals
 constexpr uint32_t MAX_DISTANCE = 65535;
+
+// Lab-only instrumentation for the match-finder tuning harness
+// (tools/prof_opt); compiled out of the production .so. Counters live on
+// the walk hot path, so they are behind an ifdef rather than a runtime
+// flag.
+#ifdef PLZ4_STATS
+struct CfStats {
+    uint64_t finds = 0;       // find() calls
+    uint64_t steps = 0;       // candidates examined
+    uint64_t pa_segs = 0;     // pattern-analysis segment skips
+    uint64_t swaps = 0;       // chain-swap re-picks taken
+    uint64_t gl_iters = 0;    // DP: match-cost g-loop iterations
+    uint64_t tail_q = 0;      // DP: ResTree query pairs actually run
+    double pass1_s = 0.0;     // opt parse: match-finder pass seconds
+    double pass2_s = 0.0;     // opt parse: DP pass seconds
+};
+inline CfStats g_cfstats;
+#define PLZ4_STAT(expr) (void)(expr)
+#else
+#define PLZ4_STAT(expr) (void)0
+#endif
 
 inline uint32_t read32(const uint8_t* p) {
     uint32_t v;
@@ -336,7 +360,15 @@ struct ChainFinder {
     const uint8_t* low_base;      // first valid byte (= wbase + floor_pos)
     int hashlog;
     std::vector<uint32_t> head;   // last position+1 for hash, 0 = empty
-    std::vector<uint32_t> chain;  // prev position+1 keyed by pos & 0xFFFF
+    // Back-step DELTA to the previous occurrence of the 4-gram at position
+    // p, keyed by p & 0xFFFF; 0 = none. Deltas > 65535 are outside the
+    // match window, so saturating them to 0 terminates walks exactly where
+    // the old absolute-position check did (reference analog: the u16
+    // DELTANEXTU16 chainTable, lz4hc.c:77). Half the footprint of the
+    // previous u32 absolute table = the walk's dependent load stays in a
+    // smaller, hotter cache slice, and the chain-swap span scan reads the
+    // back-step directly instead of deriving it.
+    std::vector<uint16_t> chain;
     uint32_t next_insert;         // next position to insert
     uint32_t floor_pos;           // positions below this are invalid
 
@@ -383,12 +415,14 @@ struct ChainFinder {
             __builtin_prefetch(&head[hash4(read32(wbase + i + 8), hashlog)],
                                1);
             uint32_t h = hash4(read32(wbase + i), hashlog);
-            chain[i & 0xFFFF] = head[h];
+            uint32_t d = head[h] ? i + 1 - head[h] : 0;
+            chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
         }
         for (; i < target; ++i) {
             uint32_t h = hash4(read32(wbase + i), hashlog);
-            chain[i & 0xFFFF] = head[h];
+            uint32_t d = head[h] ? i + 1 - head[h] : 0;
+            chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
         }
         next_insert = target;
@@ -434,6 +468,7 @@ struct ChainFinder {
              const uint8_t** mpos, int sufficient = SUFFICIENT_LEN,
              int seed_len = 0, int seed_off = 0) {
         insert_upto(ip);
+        PLZ4_STAT(++g_cfstats.finds);
         uint32_t pos = (uint32_t)(ip - wbase);
         uint32_t h = hash4(read32(ip), hashlog);
         uint32_t cand = head[h];
@@ -448,36 +483,56 @@ struct ChainFinder {
         }
         uint32_t lowest = pos > MAX_DISTANCE ? pos - MAX_DISTANCE : 0;
         if (lowest < floor_pos) lowest = floor_pos;
+        // a seed whose end touches matchlimit cannot be beaten (ties are
+        // not taken) — skip the walk entirely
+        if (best >= MINMATCH && ip + best >= matchlimit) return best;
         uint32_t first4 = read32(ip);
         uint32_t mcp = 0;                       // chain-swap gram offset
         bool need_swap = best >= MINMATCH;      // seed arms a swap
         const bool pa_ok = first4 == 0x01010101u * (uint8_t)first4;
         const uint8_t pb = (uint8_t)first4;
         int src_run = -1;                       // lazily measured
+        // hoisted boundary probe (src side): refreshed on improvement.
+        // Inside the loop ip + best < matchlimit is invariant (guarded at
+        // entry and re-checked on every improvement), so pip + 4 is in
+        // bounds whenever best >= MINMATCH.
+        const uint8_t* pip = ip + best - 3;
+        uint32_t pat4 = best >= MINMATCH ? read32(pip) : 0;
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
+            PLZ4_STAT(++g_cfstats.steps);
             uint32_t cpos = cand - 1;
             const uint8_t* mp = wbase + cpos;
+            // software pipelining: the successor comes from a dependent
+            // chain load — issue it before evaluating the current
+            // candidate, and prefetch the successor's boundary probe line
+            // so its evaluation doesn't stall either. mcp only changes on
+            // paths that continue/break, so d_pre stays valid wherever it
+            // is consumed (step + pattern-density check).
+            uint32_t d_pre = chain[(cpos + mcp) & 0xFFFF];
+            if (d_pre)
+                __builtin_prefetch(wbase + (cpos - d_pre) + (best - 3),
+                                   0, 0);
             if (best >= MINMATCH) {
                 // extension-first evaluation: count from the best-so-far
                 // boundary — candidates that merely TIE stop in O(1), and
                 // the O(best) head verification runs only on candidates
                 // that actually extend past the boundary
-                if (ip + best < matchlimit &&
-                    read32(mp + best - 3) == read32(ip + best - 3)) {
-                    int c1 = count_match(ip + best - 3, mp + best - 3,
-                                         matchlimit);
+                if (read32(mp + best - 3) == pat4) {
+                    int c1 = count_match(pip, mp + best - 3, matchlimit);
                     if (c1 >= 4) {
-                        int head = count_match(ip, mp, ip + best - 3);
+                        int head = count_match(ip, mp, pip);
                         if (head == best - 3) {
                             best = best - 3 + c1;
                             *mpos = mp;
                             if (ip + best >= matchlimit) break;
                             if (best >= sufficient) break;
                             need_swap = true;
+                            pip = ip + best - 3;
+                            pat4 = read32(pip);
                         }
                     }
                 }
-            } else if (mp[best] == ip[best] && read32(mp) == first4) {
+            } else if (mp[0] == ip[0] && read32(mp) == first4) {
                 int len = count_match(ip, mp, matchlimit);
                 if (len > best) {
                     best = len;
@@ -485,10 +540,12 @@ struct ChainFinder {
                     if (ip + best >= matchlimit) break;  // cannot improve
                     if (best >= sufficient) break;       // good enough
                     need_swap = true;
+                    pip = ip + best - 3;
+                    pat4 = read32(pip);
                 }
             }
             // --- pattern analysis: dense chain inside a single-byte run ---
-            if (pa_ok && mcp == 0 && chain[cpos & 0xFFFF] == cpos &&
+            if (pa_ok && mcp == 0 && d_pre == 1 &&
                 read32(mp) == first4) {
                 if (src_run < 0)
                     src_run = MINMATCH +
@@ -508,6 +565,7 @@ struct ChainFinder {
                                   ? s + (uint32_t)(seg - src_run)
                                   : s;
                 const uint32_t probes[2] = {q1, s};
+                bool improved = false;
                 for (uint32_t qp : probes) {
                     if (qp >= pos) continue;
                     int len = count_match(ip, wbase + qp, matchlimit);
@@ -515,17 +573,23 @@ struct ChainFinder {
                         best = len;
                         *mpos = wbase + qp;
                         need_swap = true;
+                        improved = true;
                     }
                 }
                 if (best >= MINMATCH &&
                     (ip + best >= matchlimit || best >= sufficient))
                     break;
+                if (improved) {  // keep the hoisted boundary probe fresh
+                    pip = ip + best - 3;
+                    pat4 = read32(pip);
+                }
                 // skip the whole dense segment (beaters below s only);
                 // a swap inside the span would just re-walk the run
+                PLZ4_STAT(++g_cfstats.pa_segs);
                 need_swap = false;
-                uint32_t nxt = chain[s & 0xFFFF];
-                if (nxt == 0 || nxt - 1 < floor_pos || nxt - 1 >= s) break;
-                cand = nxt;
+                uint32_t dseg = chain[s & 0xFFFF];
+                if (dseg == 0 || s - dseg < floor_pos) break;
+                cand = s - dseg + 1;
                 continue;
             }
             // --- chain swap: re-pick the sparsest gram chain in the span ---
@@ -546,12 +610,11 @@ struct ChainFinder {
                     int accel = 1 << 4;  // accelerating scan on long spans
                     for (int p2 = 0; p2 <= end;) {
                         uint32_t q = bpos + (uint32_t)p2;
-                        uint32_t nx = chain[q & 0xFFFF];
-                        if (nx == 0 || nx - 1 < floor_pos) {
+                        uint32_t d = chain[q & 0xFFFF];
+                        if (d == 0 || q - d < floor_pos) {
                             dead = true;
                             break;
                         }
-                        uint32_t d = q - (nx - 1);
                         if (d > bestd) {
                             bestd = d;
                             bmcp = (uint32_t)p2;
@@ -563,8 +626,11 @@ struct ChainFinder {
                     // candidate below can reproduce ip[0..best): done
                     if (dead) break;
                     if (bestd > 1) {
+                        PLZ4_STAT(++g_cfstats.swaps);
                         mcp = bmcp;
-                        uint32_t member = chain[(bpos + mcp) & 0xFFFF] - 1;
+                        // the scan verified this slot: alive and >= floor
+                        uint32_t member = bpos + mcp - chain[(bpos + mcp) &
+                                                             0xFFFF];
                         if (member < mcp) break;
                         cand = member - mcp + 1;
                         continue;
@@ -574,9 +640,8 @@ struct ChainFinder {
             // --- step within the current gram bucket ---
         no_swap:
             {
-                uint32_t nx = chain[(cpos + mcp) & 0xFFFF];
-                if (nx == 0) break;
-                uint32_t member = nx - 1;
+                if (d_pre == 0) break;
+                uint32_t member = cpos + mcp - d_pre;
                 if (member < floor_pos || member < mcp) break;
                 cand = member - mcp + 1;
             }
@@ -634,7 +699,8 @@ struct ChainFinder {
                     if (total >= sufficient) break;
                 }
             }
-            cand = chain[(cand - 1) & 0xFFFF];
+            uint32_t d = chain[(cand - 1) & 0xFFFF];
+            cand = d ? cand - d : 0;  // delta walk; 0 / out-of-window ends
         }
         return best;
     }
@@ -766,6 +832,27 @@ struct WinMin {
     int32_t argmin() const { return pos[head]; }
 };
 
+// Per-level search parameters for the optimal parse (levels 9-12):
+// chain-walk attempt budget, good-enough valve (reference analog:
+// nbSearches / targetLength columns of k_clTable, lz4hc.c:92-106), and the
+// pure-inheritance skip threshold. Runtime-settable via lz4r_set_opt_params
+// for the lab budget sweeps (tools/sweep_opt_budget.py); production code
+// never calls the setter, so shipped behavior is this table.
+struct OptParams {
+    int attempts;
+    int sufficient;
+    int skip_len;
+};
+inline OptParams g_opt_params[13] = {
+    // levels 0-8 route to greedy/HC, entries unused but keep indexing flat
+    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
+    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
+    {256, 192, 256},      // 9
+    {512, 192, 256},      // 10
+    {65536, 768, 256},    // 11
+    {65536, 4095, 4095},  // 12
+};
+
 // test-only introspection sink for the optimal parse (lz4r_opt_debug)
 struct OptDbgSink {
     int32_t* mlen = nullptr;
@@ -788,7 +875,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     }
     const uint8_t* const iend = src + src_size;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
-    const int attempts = hc_attempts_for_level(level);
+    const int attempts = g_opt_params[level > 12 ? 12 : level].attempts;
     // Good-enough valve per level, mirroring upstream's targetLength
     // ladder (lz4hc.c:103-105). KNOWN APPROXIMATION: the valve, the
     // carried-seed shortcut, and the carry-skip inheritance below can
@@ -803,11 +890,11 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // the seed shortcut and costs 2-10x on repeat-heavy data; a
     // 16-candidate linger after the valve changes nothing measurable;
     // denser carry re-search costs 11% ratio elsewhere.
-    const int sufficient = level >= 12 ? 4095
-                          : level >= 11 ? 768 : ChainFinder::SUFFICIENT_LEN;
+    const OptParams& prm = g_opt_params[level > 12 ? 12 : level];
+    const int sufficient = prm.sufficient;
     // pure-inheritance skip threshold for pass 1 (see below): inside a
     // carried match this long, skip the re-search entirely
-    const int skip_len = level >= 12 ? 4095 : 256;
+    const int skip_len = prm.skip_len;
 
     if (src_size < MFLIMIT + 1) {
         op = emit_last_literals(op, oend, src, src_size);
@@ -847,6 +934,9 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     std::vector<int32_t>& moff = sc.moff;
     mlen.assign(n, 0);
     moff.assign(n, 0);
+#ifdef PLZ4_STATS
+    auto t_p1 = std::chrono::steady_clock::now();
+#endif
     {
         ChainFinder cf(wbase, (size_t)(iend - wbase));
         if (src > wbase) cf.insert_upto(src);
@@ -914,6 +1004,10 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         std::memcpy(g_optdbg.mlen, mlen.data(), (size_t)n * 4);
         std::memcpy(g_optdbg.moff, moff.data(), (size_t)n * 4);
     }
+#ifdef PLZ4_STATS
+    auto t_p2 = std::chrono::steady_clock::now();
+    g_cfstats.pass1_s += std::chrono::duration<double>(t_p2 - t_p1).count();
+#endif
 
     // --- pass 2: backward DP over sequence starts --------------------------
     constexpr int64_t INF = int64_t(1) << 50;
@@ -943,6 +1037,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             int64_t best = INF;
             int best_l = 0;
             int cap = ml < 36 ? ml : 36;
+            PLZ4_STAT(g_cfstats.gl_iters += cap - MINMATCH + 1);
             for (int l = MINMATCH; l <= cap; ++l) {
                 if (dp[i + l] >= INF) continue;
                 int64_t c = 2 + mlext_price(l) + dp[i + l];
@@ -1009,6 +1104,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             int aa = i + 15;
             int Q = aa / 255, R = aa % 255;
             if (2 + rtree.v[1] - i - Q - 1 < best) {
+                PLZ4_STAT(++g_cfstats.tail_q);
                 int64_t v1, v2;
                 int32_t j1, j2;
                 rtree.query(R, 254, v1, j1);
@@ -1031,6 +1127,11 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
 
     if (g_optdbg.dp && g_optdbg.n >= n)
         std::memcpy(g_optdbg.dp, dp.data(), (size_t)(n + 1) * 8);
+#ifdef PLZ4_STATS
+    g_cfstats.pass2_s += std::chrono::duration<double>(
+                             std::chrono::steady_clock::now() - t_p2)
+                             .count();
+#endif
 
     // --- pass 3: reconstruct + emit ---------------------------------------
     int i = 0;
@@ -1254,6 +1355,18 @@ LZ4R_API int lz4r_opt_debug(const uint8_t* src, int src_size, uint8_t* dst,
 LZ4R_API int lz4r_compress_bound(int src_size) {
     if (src_size < 0) return 0;
     return src_size + src_size / 255 + 16;
+}
+
+// Lab-only: override the optimal-parse search parameters for a level
+// (tools/sweep_opt_budget.py). Values <= 0 leave the field unchanged.
+// NOT part of the stable API; production paths never call this.
+LZ4R_API void lz4r_set_opt_params(int level, int attempts, int sufficient,
+                                  int skip_len) {
+    if (level < 9 || level > 12) return;
+    OptParams& p = g_opt_params[level];
+    if (attempts > 0) p.attempts = attempts;
+    if (sufficient > 0) p.sufficient = sufficient;
+    if (skip_len > 0) p.skip_len = skip_len;
 }
 
 // dict (may be null) must be the window content; it is copied so that it sits
