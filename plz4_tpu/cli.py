@@ -185,6 +185,15 @@ def cmd_verify(args) -> int:
     return 0
 
 
+
+def _check_roundtrip(out: bytes, data: bytes, label: str) -> None:
+    """Bakeoff round-trip gate. An explicit check (not assert): python -O
+    strips asserts, and a bakeoff must never report throughput for a
+    silently corrupt codec path."""
+    if out != data:
+        raise SystemExit(f"bakeoff: {label} round-trip MISMATCH "
+                         f"({len(out)} vs {len(data)} bytes)")
+
 def cmd_bakeoff(args) -> int:
     """Benchmark all levels against an independent competitor (reference:
     ops/bakeoff.go benchmarks plz4 vs pierrec/lz4 with --ram and -B raw
@@ -230,7 +239,7 @@ def cmd_bakeoff(args) -> int:
                 compress_block(b, level=level) for b in blocks])
             outs, td = timed(lambda: [
                 decompress_block(c, dst_size=bs) for c in comp])
-            assert b"".join(outs) == data
+            _check_roundtrip(b"".join(outs), data, "plz4-block")
             rows.append(("plz4-block", level, sum(map(len, comp)), te, td))
         if have_upstream:
             for li, level in enumerate(levels):
@@ -239,7 +248,7 @@ def cmd_bakeoff(args) -> int:
                     upstream.compress(b, level) for b in blocks])
                 outs, td = timed(lambda: [
                     upstream.decompress(c, bs) for c in comp])
-                assert b"".join(outs) == data
+                _check_roundtrip(b"".join(outs), data, "upstream-block")
                 rows.append(("upstream-block", level,
                              sum(map(len, comp)), te, td))
     else:
@@ -249,7 +258,7 @@ def cmd_bakeoff(args) -> int:
                 data, level=level, parallel=args.cpus,
                 content_checksum=False))
             out, td = timed(lambda: decompress(comp, parallel=args.cpus))
-            assert out == data
+            _check_roundtrip(out, data, f"plz4 L{level}")
             rows.append(("plz4", level, len(comp), te, td))
         if have_upstream:
             bs = 4 << 20
@@ -260,7 +269,7 @@ def cmd_bakeoff(args) -> int:
                     upstream.compress(b, level) for b in blocks])
                 outs, td = timed(lambda: [
                     upstream.decompress(c, bs) for c in comp])
-                assert b"".join(outs) == data
+                _check_roundtrip(b"".join(outs), data, f"upstream L{level}")
                 rows.append(("upstream", level, sum(map(len, comp)), te, td))
         if args.device:
             progress("device L1", 0, 1)
@@ -269,7 +278,7 @@ def cmd_bakeoff(args) -> int:
                 content_checksum=False))
             out, td = timed(lambda: decompress(
                 comp, backend="device", parallel=args.cpus))
-            assert out == data
+            _check_roundtrip(out, data, "device L1")
             rows.append(("device", 1, len(comp), te, td))
     clear()
 

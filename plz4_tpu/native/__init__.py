@@ -28,13 +28,40 @@ _lock = threading.Lock()
 _EXT_SRC = os.path.join(_HERE, "_extmod.c")
 _ext = None           # C-extension module (None until loaded / if failed)
 _ext_tried = False
+_ext_error = None     # why the extension is unavailable (diagnosable perf
+                      # fallback: ctypes per-record calls are ~2-3x slower)
+
+
+def _cache_key(*paths: str, extra: str = "") -> str:
+    """Digest of sources PLUS the compile configuration. -march=native
+    output is host-specific: a _build/ dir shared across machines (copied
+    venv, NFS home, baked image) must not load another host's .so and die
+    with SIGILL, so the platform/CPU token is part of the key."""
+    import platform
+
+    h = hashlib.sha256()
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    h.update(extra.encode())
+    h.update(platform.machine().encode())
+    try:  # CPU capability token (x86: flags line pins the ISA extensions)
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    h.update(line)
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()[:16]
 
 
 def _load_ext():
     """Build + import the CPython C-extension binding (plz4_ext). Falls
-    back silently to ctypes on any failure — the extension is a pure
-    fast path, not a capability."""
-    global _ext, _ext_tried
+    back to ctypes on any failure — the extension is a pure fast path,
+    not a capability; the reason is kept in _ext_error (and printed when
+    PLZ4_DEBUG is set) so the perf fallback is diagnosable."""
+    global _ext, _ext_tried, _ext_error
     if _ext_tried:
         return _ext
     with _lock:
@@ -44,36 +71,40 @@ def _load_ext():
             import importlib.util
             import sysconfig
 
-            h = hashlib.sha256()
-            for p in (_SRC, _EXT_SRC):
-                with open(p, "rb") as f:
-                    h.update(f.read())
-            digest = h.hexdigest()[:16]
+            inc = sysconfig.get_paths()["include"]
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", f"-I{inc}", "-o", "", _EXT_SRC, _SRC,
+            ]
+            digest = _cache_key(_SRC, _EXT_SRC, extra=" ".join(cmd))
             suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
             so_path = os.path.join(_BUILD_DIR, f"plz4_ext-{digest}{suffix}")
             if not os.path.exists(so_path):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 tmp = so_path + f".tmp{os.getpid()}"
-                inc = sysconfig.get_paths()["include"]
-                cmd = [
-                    "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                    "-fPIC", f"-I{inc}", "-o", tmp, _EXT_SRC, _SRC,
-                ]
+                cmd[cmd.index("")] = tmp
                 subprocess.run(cmd, check=True, capture_output=True)
                 os.replace(tmp, so_path)
             spec = importlib.util.spec_from_file_location("plz4_ext", so_path)
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
             _ext = mod
-        except Exception:  # pragma: no cover - env-dependent
+        except Exception as e:  # pragma: no cover - env-dependent
             _ext = None
+            _ext_error = repr(e)
+            if os.environ.get("PLZ4_DEBUG"):
+                import sys
+
+                print(f"plz4_tpu: C-extension unavailable, using ctypes "
+                      f"fallback: {_ext_error}", file=sys.stderr)
         _ext_tried = True
     return _ext
 
 
 def _build_lib() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    digest = _cache_key(
+        _SRC, extra="g++ -O3 -march=native -std=c++17 -shared -fPIC "
+                    "-fvisibility=hidden")
     so_path = os.path.join(_BUILD_DIR, f"liblz4r-{digest}.so")
     if os.path.exists(so_path):
         return so_path

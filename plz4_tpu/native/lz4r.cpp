@@ -18,6 +18,7 @@
 //
 // All functions are exported with C linkage for ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -595,13 +596,6 @@ struct ChainFinder {
             // --- chain swap: re-pick the sparsest gram chain in the span ---
             if (need_swap) {
                 uint32_t bpos = (uint32_t)(*mpos - wbase);
-                // stepping from bpos+mcp enumerates bucket members below
-                // it; candidates in (bpos, cpos) would be skipped unsoundly
-                // — stay armed until the walk reaches the best position
-                // (always immediate on an improvement, where bpos == cpos;
-                // deferred for a seed whose offset is smaller than the
-                // head candidate's)
-                if (bpos < cpos) goto no_swap;
                 need_swap = false;
                 if (best > MINMATCH && bpos + (uint32_t)best <= pos) {
                     int end = best - MINMATCH;  // span gram offsets [0, end]
@@ -612,7 +606,16 @@ struct ChainFinder {
                         uint32_t q = bpos + (uint32_t)p2;
                         uint32_t d = chain[q & 0xFFFF];
                         if (d == 0 || q - d < floor_pos) {
+                            // a span gram with NO occurrence below bpos:
+                            // no beater exists below bpos at all, and the
+                            // only possible beaters — candidates in
+                            // (bpos, cpos) containing this gram — are
+                            // enumerated by jumping to this gram's bucket
+                            // (its chain ends at bpos+p2, bounding the
+                            // walk). For an improvement swap bpos == cpos
+                            // and the jump terminates immediately.
                             dead = true;
+                            bmcp = (uint32_t)p2;
                             break;
                         }
                         if (d > bestd) {
@@ -622,23 +625,59 @@ struct ChainFinder {
                         }
                         p2 += (accel++ >> 4);
                     }
-                    // a span gram with no earlier occurrence proves no
-                    // candidate below can reproduce ip[0..best): done
-                    if (dead) break;
-                    if (bestd > 1) {
+                    if ((dead || bestd > 1) && cpos + bmcp >= pos) {
+                        // Overlap zone of the chosen gram: a beater q with
+                        // q + bmcp >= pos has its bmcp-gram not yet in the
+                        // table, so the bucket walk below would miss it —
+                        // but every beater is a member of the MAIN bucket,
+                        // which the singles walk is already enumerating.
+                        // Keep walking singles and retry the swap once the
+                        // walk leaves the zone (at most bmcp more steps).
+                        need_swap = true;
+                    } else if (dead || bestd > 1) {
                         PLZ4_STAT(++g_cfstats.swaps);
                         mcp = bmcp;
-                        // the scan verified this slot: alive and >= floor
-                        uint32_t member = bpos + mcp - chain[(bpos + mcp) &
-                                                             0xFFFF];
-                        if (member < mcp) break;
-                        cand = member - mcp + 1;
+                        // Enter the sparse gram's bucket FROM ITS HEAD and
+                        // catch up to the walk point: members above
+                        // cpos+mcp map to candidates >= cpos (already
+                        // enumerated or overlapping-periodic — the same
+                        // concession as above) and are skipped without
+                        // evaluation; every candidate BELOW cpos stays
+                        // reachable because a beater must be a bucket
+                        // member. This lets a far-offset carried seed swap
+                        // immediately instead of walking the dense head
+                        // bucket singly down to the seed position.
+                        uint32_t m2 = head[hash4(read32(ip + (int)mcp),
+                                                 hashlog)];
+                        for (;;) {
+                            if (m2 == 0) break;
+                            uint32_t mem = m2 - 1;
+                            if (mem < floor_pos || mem < mcp) {
+                                m2 = 0;
+                                break;
+                            }
+                            if (mem - mcp < cpos) break;  // fresh candidate
+                            PLZ4_STAT(++g_cfstats.steps);
+                            if (--nb_attempts < 0) {
+                                m2 = 0;
+                                break;
+                            }
+                            uint32_t dd = chain[mem & 0xFFFF];
+                            if (dd == 0) {
+                                m2 = 0;
+                                break;
+                            }
+                            m2 = mem - dd + 1;
+                        }
+                        // bucket exhausted above the walk point: no member
+                        // below cpos exists, so no beater exists either
+                        if (m2 == 0) break;
+                        cand = (m2 - 1) - mcp + 1;
                         continue;
                     }
                 }
             }
             // --- step within the current gram bucket ---
-        no_swap:
             {
                 if (d_pre == 0) break;
                 uint32_t member = cpos + mcp - d_pre;
@@ -757,54 +796,54 @@ inline int llext_price(int r) {  // literal-length extension bytes
 //   K = Q + (t < R),  where i+15 = 255Q + R and t = j mod 255.
 // A 256-leaf segment tree over the classes gives O(log) point-min inserts
 // (as j enters the r >= 525 region) and the two range-min queries per i.
+template <typename CostT>
 struct ResTree {
-    static constexpr int64_t NONE = int64_t(1) << 50;
-    int64_t v[512];
-    int32_t a[512];
+    // Flat per-residue-class minima. Keys C(j) = g[j] + j + j/255 are
+    // inserted for every matched position, but the range queries run only
+    // when the guard in compress_opt passes — measured ZERO times per
+    // position on all profiled corpora (text/boiler/runs, tools/prof_opt).
+    // A segment tree was tried first: since C(j) falls as j falls, nearly
+    // every insert improved its class and paid the full O(log) update path
+    // (~40 cycles/position); the flat array inserts in ~4 ops and accepts
+    // an O(255) scan on the (rare) queries.
+    //
+    // NONE must dominate every real key (<= ~2.01n + n/255); int32
+    // instantiations are only used for n < 2^28 (see compress_opt).
+    static constexpr CostT NONE = sizeof(CostT) == 8
+                                      ? (CostT)((int64_t)1 << 50)
+                                      : (CostT)((int64_t)1 << 30);
+    CostT cls[255];
+    int32_t arg[255];
+    CostT gmin;  // min over cls (the guard's lower bound)
 
     void reset() {
-        for (int k = 0; k < 512; ++k) {
-            v[k] = NONE;
-            a[k] = -1;
+        for (int k = 0; k < 255; ++k) {
+            cls[k] = NONE;
+            arg[k] = -1;
+        }
+        gmin = NONE;
+    }
+
+    void insert(int t, CostT val, int32_t j) {
+        if (val < cls[t]) {
+            cls[t] = val;
+            arg[t] = j;
+            if (val < gmin) gmin = val;
         }
     }
 
-    void insert(int t, int64_t val, int32_t j) {
-        int k = 256 + t;
-        if (val >= v[k]) return;
-        v[k] = val;
-        a[k] = j;
-        for (k >>= 1; k >= 1; k >>= 1) {
-            if (v[2 * k] <= v[2 * k + 1]) {
-                v[k] = v[2 * k];
-                a[k] = a[2 * k];
-            } else {
-                v[k] = v[2 * k + 1];
-                a[k] = a[2 * k + 1];
-            }
-        }
-    }
-
-    void query(int lo, int hi, int64_t& bv, int32_t& bj) const {
+    void query(int lo, int hi, CostT& bv, int32_t& bj) const {
         bv = NONE;
         bj = -1;
-        if (lo > hi) return;
-        for (int l = lo + 256, r = hi + 257; l < r; l >>= 1, r >>= 1) {
-            if (l & 1) {
-                if (v[l] < bv) { bv = v[l]; bj = a[l]; }
-                ++l;
-            }
-            if (r & 1) {
-                --r;
-                if (v[r] < bv) { bv = v[r]; bj = a[r]; }
-            }
-        }
+        for (int t = lo; t <= hi; ++t)
+            if (cls[t] < bv) { bv = cls[t]; bj = arg[t]; }
     }
 };
 
 // Monotone deque for a backward-sliding window minimum of (g[j] + j).
+template <typename CostT>
 struct WinMin {
-    std::vector<int64_t> val;
+    std::vector<CostT> val;
     std::vector<int32_t> pos;
     int head = 0, tail = 0;  // [head, tail)
 
@@ -816,7 +855,7 @@ struct WinMin {
         head = tail = 0;
     }
 
-    void push(int32_t j, int64_t v) {  // j strictly decreasing
+    void push(int32_t j, CostT v) {  // j strictly decreasing
         while (tail > head && val[tail - 1] >= v) --tail;
         val[tail] = v;
         pos[tail] = j;
@@ -828,7 +867,7 @@ struct WinMin {
     }
 
     bool empty() const { return head == tail; }
-    int64_t min() const { return val[head]; }
+    CostT min() const { return val[head]; }
     int32_t argmin() const { return pos[head]; }
 };
 
@@ -839,18 +878,26 @@ struct WinMin {
 // for the lab budget sweeps (tools/sweep_opt_budget.py); production code
 // never calls the setter, so shipped behavior is this table.
 struct OptParams {
-    int attempts;
-    int sufficient;
-    int skip_len;
+    int attempts;       // chain-walk budget at fresh positions
+    int sufficient;     // good-enough valve
+    int skip_len;       // pure-inheritance skip threshold
+    int seed_attempts;  // walk budget at carried (seeded) positions — the
+                        // seed's boundary filter rejects most candidates in
+                        // ~2 loads, but a full-budget walk there still
+                        // dominates pass-1 time; a small budget keeps
+                        // fresh-match discovery at a fraction of the cost
+                        // (analog of upstream's price-plateau search skip,
+                        // lz4hc.c:1929-1935, which prunes searches at
+                        // positions already covered by a priced match)
 };
 inline OptParams g_opt_params[13] = {
     // levels 0-8 route to greedy/HC, entries unused but keep indexing flat
-    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
-    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
-    {256, 192, 256},      // 9
-    {512, 192, 256},      // 10
-    {65536, 768, 256},    // 11
-    {65536, 4095, 4095},  // 12
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
+    {256, 192, 256, 256},        // 9
+    {512, 192, 256, 512},        // 10
+    {65536, 768, 256, 65536},    // 11
+    {65536, 4095, 4095, 65536},  // 12
 };
 
 // test-only introspection sink for the optimal parse (lz4r_opt_debug)
@@ -862,8 +909,14 @@ struct OptDbgSink {
 };
 static thread_local OptDbgSink g_optdbg;
 
-int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
-                 uint8_t* dst, int dst_cap, int level) {
+// CostT: int32 for blocks under 2^28 (the engine's blocks are <= 4 MiB) —
+// halves the DP arrays' memory traffic; int64 keeps arbitrary raw-API
+// sizes exact. Costs are bounded by n + n/255 + O(1), and every derived
+// key (g+j, g+j+j/255) by ~2.01n + n/255, so int32 holds them for
+// n < 2^28 with INF = 2^30 headroom.
+template <typename CostT>
+int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
+                   uint8_t* dst, int dst_cap, int level) {
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
@@ -876,6 +929,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     const uint8_t* const iend = src + src_size;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
     const int attempts = g_opt_params[level > 12 ? 12 : level].attempts;
+    const int seed_att = g_opt_params[level > 12 ? 12 : level].seed_attempts;
     // Good-enough valve per level, mirroring upstream's targetLength
     // ladder (lz4hc.c:103-105). KNOWN APPROXIMATION: the valve, the
     // carried-seed shortcut, and the carry-skip inheritance below can
@@ -910,7 +964,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // faults.
     struct OptScratch {
         std::vector<int32_t> mlen, moff, g_len, run_of, len_of;
-        std::vector<int64_t> dp, g;
+        std::vector<CostT> dp, g;
     };
     static thread_local OptScratch sc;
 
@@ -945,6 +999,15 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         // scan near-linear on RLE/periodic data. (A denser skip was tried
         // and cost 11% ratio: the DP needs fresh matches at most positions.)
         int carry_len = 0, carry_off = 0;
+        // Adaptive seeded-walk budget: full budget wherever seeded walks
+        // have recently produced fresh matches (boiler-like data, where
+        // overlapping templates beat the carried offset constantly), decay
+        // toward seed_att where they don't (text-like data, where the
+        // carry already is the best and walks are pure overhead). The
+        // productivity signal makes the pruning self-calibrating per
+        // region, unlike a static seeded budget, which the budget sweep
+        // showed cannot satisfy text and boiler simultaneously.
+        int cur_sat = attempts;
         for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
             if (carry_len > 64 && carry_off > 8) {
@@ -965,7 +1028,7 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                     }
                 }
             }
-            if (carry_len > 64 && (carry_off <= 8 || carry_len >= skip_len)) {
+            if ((carry_len > 64 && carry_off <= 8) || carry_len >= skip_len) {
                 // RLE-ish region (period <= 8): nothing longer can start
                 // mid-run, and a full search would count the whole run per
                 // candidate — keep the pure inheritance skip.
@@ -986,10 +1049,15 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             // carried tail seeds the search: the boundary filter rejects
             // non-improving candidates in ~2 loads, so re-searching inside
             // long matches is cheap yet still finds longer fresh matches
-            // (a pure skip missed matches worth ~0.2% on mixed corpora)
-            int l = cf.find(ip, matchlimit, attempts, &match, sufficient,
-                            carry_len >= MINMATCH ? carry_len : 0,
+            // (a pure skip missed matches worth ~0.2% on mixed corpora);
+            // seeded positions get the (usually smaller) seed budget
+            bool seeded = carry_len >= MINMATCH;
+            int l = cf.find(ip, matchlimit, seeded ? cur_sat : attempts,
+                            &match, sufficient, seeded ? carry_len : 0,
                             carry_off);
+            if (seeded && carry_len < sufficient)
+                cur_sat = l > carry_len ? attempts
+                                        : std::max(seed_att, cur_sat >> 1);
             if (l >= MINMATCH) {
                 mlen[i] = l;
                 moff[i] = (int32_t)(ip - match);
@@ -1010,10 +1078,10 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
 #endif
 
     // --- pass 2: backward DP over sequence starts --------------------------
-    constexpr int64_t INF = int64_t(1) << 50;
-    std::vector<int64_t>& dp = sc.dp;
+    constexpr CostT INF = ResTree<CostT>::NONE;
+    std::vector<CostT>& dp = sc.dp;
     std::vector<int32_t>& g_len = sc.g_len;
-    std::vector<int64_t>& g = sc.g;
+    std::vector<CostT>& g = sc.g;
     std::vector<int32_t>& run_of = sc.run_of;
     std::vector<int32_t>& len_of = sc.len_of;
     dp.assign(n + 1, INF);
@@ -1021,11 +1089,12 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     g.assign(n, INF);         // match-part cost at j
     run_of.assign(n, -1);     // chosen literal-run length
     len_of.assign(n, 0);      // chosen match length (0 = final)
-    static thread_local WinMin w0, w1, w2;  // r in [0,14],[15,269],[270,524]
+    // r in [0,14], [15,269], [270,524]
+    static thread_local WinMin<CostT> w0, w1, w2;
     w0.reset(n + 1);
     w1.reset(n + 1);
     w2.reset(n + 1);
-    static thread_local ResTree rtree;  // exact pricing for r >= 525
+    static thread_local ResTree<CostT> rtree;  // exact pricing for r >= 525
     rtree.reset();
     dp[n] = INF;  // a sequence cannot start at n (handled by final run)
 
@@ -1034,13 +1103,13 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         // length, and the lengths just below each extension-byte bump
         int ml = mlen[i];
         if (ml >= MINMATCH) {
-            int64_t best = INF;
+            CostT best = INF;
             int best_l = 0;
             int cap = ml < 36 ? ml : 36;
             PLZ4_STAT(g_cfstats.gl_iters += cap - MINMATCH + 1);
             for (int l = MINMATCH; l <= cap; ++l) {
                 if (dp[i + l] >= INF) continue;
-                int64_t c = 2 + mlext_price(l) + dp[i + l];
+                CostT c = 2 + mlext_price(l) + dp[i + l];
                 if (c < best) { best = c; best_l = l; }
             }
             if (ml > 36) {
@@ -1051,12 +1120,12 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                 // count keeps RLE blocks (ml ~ n at every position) O(n)
                 for (int l = 273; l <= ml && l < 4351; l += 255) {
                     if (dp[i + l] >= INF) continue;
-                    int64_t c = 2 + mlext_price(l) + dp[i + l];
+                    CostT c = 2 + mlext_price(l) + dp[i + l];
                     if (c < best) { best = c; best_l = l; }
                 }
                 for (int l = ml > 38 ? ml - 2 : 37; l <= ml; ++l) {
                     if (dp[i + l] >= INF) continue;
-                    int64_t c = 2 + mlext_price(l) + dp[i + l];
+                    CostT c = 2 + mlext_price(l) + dp[i + l];
                     if (c < best) { best = c; best_l = l; }
                 }
             }
@@ -1077,22 +1146,22 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         }
         // dp[i]: final-literal-run option, then one option per llext range
         int fin_r = n - i;
-        int64_t best = 1 + llext_price(fin_r) + fin_r;
+        CostT best = 1 + llext_price(fin_r) + fin_r;
         int best_r = -1;  // -1 = final literals
         int32_t best_j = -1;
         w0.drop_above(i + 14);
         if (!w0.empty()) {
-            int64_t c = 1 + 0 + (w0.min() - i);
+            CostT c = 1 + 0 + (w0.min() - i);
             if (c < best) { best = c; best_j = w0.argmin(); }
         }
         w1.drop_above(i + 269);
         if (!w1.empty() && w1.argmin() >= i + 15) {
-            int64_t c = 1 + 1 + (w1.min() - i);
+            CostT c = 1 + 1 + (w1.min() - i);
             if (c < best) { best = c; best_j = w1.argmin(); }
         }
         w2.drop_above(i + 524);
         if (!w2.empty() && w2.argmin() >= i + 270) {
-            int64_t c = 1 + 2 + (w2.min() - i);
+            CostT c = 1 + 2 + (w2.min() - i);
             if (c < best) { best = c; best_j = w2.argmin(); }
         }
         if (i + 525 <= n - 1) {
@@ -1103,18 +1172,18 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
             // this skips in 3 ops
             int aa = i + 15;
             int Q = aa / 255, R = aa % 255;
-            if (2 + rtree.v[1] - i - Q - 1 < best) {
+            if (2 + rtree.gmin - i - Q - 1 < best) {
                 PLZ4_STAT(++g_cfstats.tail_q);
-                int64_t v1, v2;
+                CostT v1, v2;
                 int32_t j1, j2;
                 rtree.query(R, 254, v1, j1);
                 rtree.query(0, R - 1, v2, j2);
-                int64_t cand;
+                CostT cand;
                 int32_t cj;
                 if (v2 - 1 < v1) { cand = v2 - 1; cj = j2; }
                 else { cand = v1; cj = j1; }
-                if (cand < ResTree::NONE - 1) {
-                    int64_t c = 2 + cand - i - Q;
+                if (cand < ResTree<CostT>::NONE - 1) {
+                    CostT c = 2 + cand - i - Q;
                     if (c < best) { best = c; best_j = cj; }
                 }
             }
@@ -1126,7 +1195,8 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     }
 
     if (g_optdbg.dp && g_optdbg.n >= n)
-        std::memcpy(g_optdbg.dp, dp.data(), (size_t)(n + 1) * 8);
+        for (int k = 0; k <= n; ++k)  // widen (CostT may be int32)
+            g_optdbg.dp[k] = dp[k] >= INF ? (int64_t(1) << 50) : dp[k];
 #ifdef PLZ4_STATS
     g_cfstats.pass2_s += std::chrono::duration<double>(
                              std::chrono::steady_clock::now() - t_p2)
@@ -1146,6 +1216,17 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     }
     op = emit_last_literals(op, oend, src + i, n - i);
     return op ? (int)(op - dst) : 0;
+}
+
+int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
+                 uint8_t* dst, int dst_cap, int level) {
+    // int32 costs for every realistic block; exact int64 fallback for
+    // giant raw-API inputs (>= 2^28, where int32 keys could overflow)
+    if (src_size < (1 << 28))
+        return compress_opt_t<int32_t>(wbase, src, src_size, dst, dst_cap,
+                                       level);
+    return compress_opt_t<int64_t>(wbase, src, src_size, dst, dst_cap,
+                                   level);
 }
 
 // `ext`: an already-synced finder whose history covers [window, src) — the
@@ -1361,12 +1442,13 @@ LZ4R_API int lz4r_compress_bound(int src_size) {
 // (tools/sweep_opt_budget.py). Values <= 0 leave the field unchanged.
 // NOT part of the stable API; production paths never call this.
 LZ4R_API void lz4r_set_opt_params(int level, int attempts, int sufficient,
-                                  int skip_len) {
+                                  int skip_len, int seed_attempts) {
     if (level < 9 || level > 12) return;
     OptParams& p = g_opt_params[level];
     if (attempts > 0) p.attempts = attempts;
     if (sufficient > 0) p.sufficient = sufficient;
     if (skip_len > 0) p.skip_len = skip_len;
+    if (seed_attempts > 0) p.seed_attempts = seed_attempts;
 }
 
 // dict (may be null) must be the window content; it is copied so that it sits

@@ -25,6 +25,15 @@ import threading
 
 _REF_DIR = "/root/reference/internal/pkg/clz4"
 _SOURCES = ("lz4.c", "lz4hc.c")
+# Pinned sha256 of the vendored upstream lz4 v1.10.0 sources. The oracle
+# compiles and EXECUTES code from the read-only reference mount; a swapped
+# or patched mount must not silently become the conformance baseline (nor
+# run arbitrary code in the test process), so mismatches mark the oracle
+# unavailable instead of compiling.
+_PINNED_SHA256 = {
+    "lz4.c": "9396f7de527bc8435de9c7569fb7998e56545a84b4f3c2d808c0235c01774539",
+    "lz4hc.c": "9480c794acccad7e8402741796849cca3530932a53fdee0bb8717ce8e9d854c8",
+}
 _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_build", "upstream")
 
@@ -58,9 +67,16 @@ def _build() -> str | None:
         _unavailable_reason = f"reference sources missing under {_REF_DIR}"
         return None
     h = hashlib.sha256()
-    for s in srcs:
+    for name, s in zip(_SOURCES, srcs):
         with open(s, "rb") as f:
-            h.update(f.read())
+            content = f.read()
+        digest = hashlib.sha256(content).hexdigest()
+        if digest != _PINNED_SHA256[name]:
+            _unavailable_reason = (
+                f"reference {name} sha256 mismatch (got {digest[:16]}..., "
+                f"expected lz4 v1.10.0) — refusing to build the oracle")
+            return None
+        h.update(content)
     so_path = os.path.join(_BUILD_DIR, f"liblz4up-{h.hexdigest()[:16]}.so")
     if os.path.exists(so_path):
         return so_path

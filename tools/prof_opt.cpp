@@ -78,7 +78,8 @@ int main(int argc, char** argv) {
     int reps = argc > 4 ? atoi(argv[4]) : 2;
     if (argc > 7)
         lz4r_set_opt_params(level, atoi(argv[5]), atoi(argv[6]),
-                            atoi(argv[7]));
+                            atoi(argv[7]),
+                            argc > 8 ? atoi(argv[8]) : atoi(argv[5]));
     size_t n = mb << 20;
     std::vector<uint8_t> data =
         strcmp(which, "boiler") == 0 ? gen_boiler(n, 7)

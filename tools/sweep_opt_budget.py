@@ -23,11 +23,12 @@ from tools.bench_host_levels import boiler, runs  # noqa: E402
 
 
 def set_params(level: int, attempts: int, sufficient: int,
-               skip_len: int) -> None:
+               skip_len: int, seed_attempts: int = 0) -> None:
     lib = native._load()
-    lib.lz4r_set_opt_params.argtypes = [ctypes.c_int] * 4
+    lib.lz4r_set_opt_params.argtypes = [ctypes.c_int] * 5
     lib.lz4r_set_opt_params.restype = None
-    lib.lz4r_set_opt_params(level, attempts, sufficient, skip_len)
+    lib.lz4r_set_opt_params(level, attempts, sufficient, skip_len,
+                            seed_attempts or attempts)
 
 
 def compress(data: bytes, level: int) -> bytes:
@@ -106,11 +107,13 @@ def main() -> None:
     names = [n for n, _ in small] + list(big)
     print(f"level {lv}; delta = upstream - ours (NEGATIVE = contract "
           f"violation)")
-    hdr = f"{'att':>6s} {'suf':>5s} {'skip':>5s} {'MB/s':>7s}  " + "  ".join(
-        f"{n[:9]:>9s}" for n in names)
+    hdr = (f"{'att':>6s} {'suf':>5s} {'skip':>5s} {'sat':>6s} {'MB/s':>7s}  "
+           + "  ".join(f"{n[:9]:>9s}" for n in names))
     print(hdr)
-    for att, suf, skip in configs:
-        set_params(lv, att, suf, skip)
+    for cfg in configs:
+        att, suf, skip = cfg[:3]
+        sat = cfg[3] if len(cfg) > 3 else att
+        set_params(lv, att, suf, skip, sat)
         deltas = []
         for n, d in small:
             deltas.append(up_small[n] - len(compress(d, lv)))
@@ -126,8 +129,8 @@ def main() -> None:
             speed_den += best
             deltas.append(up_big[n] - csz)
         mbs = speed_num / speed_den / 1e6
-        row = f"{att:6d} {suf:5d} {skip:5d} {mbs:7.2f}  " + "  ".join(
-            f"{d:+9d}" for d in deltas)
+        row = (f"{att:6d} {suf:5d} {skip:5d} {sat:6d} {mbs:7.2f}  "
+               + "  ".join(f"{d:+9d}" for d in deltas))
         bad = any(d < 0 for d in deltas)
         print(row + ("   <-- VIOLATES" if bad else ""), flush=True)
 
