@@ -373,6 +373,19 @@ struct ChainFinder {
     uint32_t next_insert;         // next position to insert
     uint32_t floor_pos;           // positions below this are invalid
 
+    // Single-byte-run segment cache for pattern analysis: consecutive
+    // find() calls walk the same dense segments; measuring a multi-KB run
+    // with count_run_fwd/bwd at every position made repeat-heavy blocks
+    // O(n * runlen). A segment [s, e) of byte b is content-static for the
+    // life of the buffer, so a tiny round-robin cache turns re-measures
+    // into O(1) lookups. Invalidated on attach()/reset().
+    struct Seg {
+        uint32_t s = 1, e = 0;  // run positions [s, e); empty = invalid
+        uint8_t b = 0;
+    };
+    Seg segcache[4];
+    int seg_rr = 0;
+
     ChainFinder()
         : wbase(nullptr),
           low_base(nullptr),
@@ -394,6 +407,7 @@ struct ChainFinder {
         next_insert = 0;
         floor_pos = 0;
         wbase = low_base = nullptr;
+        for (Seg& sg : segcache) sg = Seg{};
     }
 
     // Begin a fresh buffer: prior positions become unreachable without any
@@ -404,6 +418,7 @@ struct ChainFinder {
         floor_pos = next_insert;
         low_base = buf_start;
         wbase = buf_start - next_insert;
+        for (Seg& sg : segcache) sg = Seg{};  // positions re-alias content
     }
 
     void insert_upto(const uint8_t* p) {
@@ -548,20 +563,54 @@ struct ChainFinder {
             // --- pattern analysis: dense chain inside a single-byte run ---
             if (pa_ok && mcp == 0 && d_pre == 1 &&
                 read32(mp) == first4) {
-                if (src_run < 0)
-                    src_run = MINMATCH +
-                              count_run_fwd(ip + MINMATCH, matchlimit, pb);
-                // candidate runs may legitimately extend past matchlimit
+                // The run segment [rs, re) containing the candidate is
+                // content-static: serve it from the cache (consecutive
+                // finds walk the same segments; re-measuring multi-KB runs
+                // per position made repeat-heavy blocks O(n * runlen)).
+                // Candidate runs may legitimately extend past matchlimit
                 // (the last 5 bytes exist; they just can't host a match
-                // START) — count to the true buffer end for exact segment
-                // arithmetic
-                int fwd = MINMATCH + count_run_fwd(mp + MINMATCH,
-                                                   matchlimit + LASTLITERALS,
-                                                   pb);
-                int back = count_run_bwd(mp, low_base, pb);
-                uint32_t s = cpos - (uint32_t)back;
+                // START) — segments span to the true buffer end.
+                uint32_t rs = 0, re = 0;
+                bool seg_hit = false;
+                for (const Seg& sg : segcache)
+                    if (sg.b == pb && sg.s <= cpos && cpos < sg.e) {
+                        rs = sg.s;
+                        re = sg.e;
+                        seg_hit = true;
+                        break;
+                    }
+                if (!seg_hit) {
+                    int fwd0 = MINMATCH +
+                               count_run_fwd(mp + MINMATCH,
+                                             matchlimit + LASTLITERALS, pb);
+                    int back0 = count_run_bwd(mp, low_base, pb);
+                    rs = cpos - (uint32_t)back0;
+                    re = cpos + (uint32_t)fwd0;
+                    segcache[seg_rr] = Seg{rs, re, pb};
+                    seg_rr = (seg_rr + 1) & 3;
+                }
+                if (src_run < 0) {
+                    // ip sits in a pb-run too (pa_ok): src side caps at
+                    // matchlimit, matching count_run_fwd(ip+4, matchlimit)
+                    uint32_t mlpos = (uint32_t)(matchlimit - wbase);
+                    uint32_t se = pos, cap = 0;
+                    for (const Seg& sg : segcache)
+                        if (sg.b == pb && sg.s <= pos && pos < sg.e) {
+                            se = sg.e;
+                            cap = 1;
+                            break;
+                        }
+                    if (!cap)
+                        se = pos + MINMATCH +
+                             (uint32_t)count_run_fwd(
+                                 ip + MINMATCH, matchlimit + LASTLITERALS,
+                                 pb);
+                    src_run = (int)((se < mlpos ? se : mlpos) - pos);
+                }
+                int fwd = (int)(re - cpos);
+                uint32_t s = rs;
                 if (s < lowest) s = lowest;
-                int seg = (int)(cpos - s) + fwd;
+                int seg = (int)(re - s);
                 uint32_t q1 = (seg >= src_run && fwd <= src_run)
                                   ? s + (uint32_t)(seg - src_run)
                                   : s;
@@ -569,10 +618,16 @@ struct ChainFinder {
                 bool improved = false;
                 for (uint32_t qp : probes) {
                     if (qp >= pos) continue;
-                    int len = count_match(ip, wbase + qp, matchlimit);
+                    const uint8_t* qptr = wbase + qp;
+                    // extension-first filter (exact): a probe that cannot
+                    // reproduce the current boundary cannot beat best
+                    if (best >= MINMATCH &&
+                        read32(qptr + best - 3) != pat4)
+                        continue;
+                    int len = count_match(ip, qptr, matchlimit);
                     if (len > best) {
                         best = len;
-                        *mpos = wbase + qp;
+                        *mpos = qptr;
                         need_swap = true;
                         improved = true;
                     }
