@@ -69,6 +69,7 @@ class FrameReader:
         self._pending: deque = deque()   # in-flight decompress futures
         self._ready: deque = deque()     # decoded blocks awaiting consumption
         self._device_queue: deque = deque()
+        self._device_pending: deque = deque()  # dispatched device batches
         self._hasher: native.Xxh32Stream | None = None
         self._dstream: native.StreamDecompressor | None = None
         self._frame_dict: bytes | None = None
@@ -366,22 +367,29 @@ class FrameReader:
         h = self._hdr
         if self._device_queue:
             return self._device_queue.popleft()
-        batch = []
-        limit = max(1, self._budget)
-        while len(batch) < limit and not self._dispatch_done:
-            blk = self._read_stored()
-            if blk is None:
-                break
-            batch.append(blk)
-        if not batch:
-            return None
+        # Read-ahead double buffer: keep up to two batches dispatched so
+        # batch k+1's staging/H2D overlaps batch k's device compute (JAX
+        # dispatch is asynchronous; Pending.result() is the only blocking
+        # point — the round-2 path ran stage->dispatch->fetch serially).
         from ..parallel import batch as dev_batch
-        outs = dev_batch.decode_blocks(
-            [(b.data, b.uncompressed) for b in batch], h.block_size,
-            dict_=self._frame_dict,
-            checksums=[b.checksum for b in batch]
-            if h.block_checksum else None)
-        self._device_queue.extend(outs)
+        limit = max(1, self._budget)
+        while len(self._device_pending) < 2 and not self._dispatch_done:
+            batch = []
+            while len(batch) < limit and not self._dispatch_done:
+                blk = self._read_stored()
+                if blk is None:
+                    break
+                batch.append(blk)
+            if not batch:
+                break
+            self._device_pending.append(dev_batch.decode_blocks_begin(
+                [(b.data, b.uncompressed) for b in batch], h.block_size,
+                dict_=self._frame_dict,
+                checksums=[b.checksum for b in batch]
+                if h.block_checksum else None))
+        if not self._device_pending:
+            return None
+        self._device_queue.extend(self._device_pending.popleft().result())
         return self._device_queue.popleft()
 
     def _shutdown_pool(self) -> None:
@@ -393,3 +401,4 @@ class FrameReader:
         self._pending.clear()
         self._ready.clear()
         self._device_queue.clear()
+        self._device_pending.clear()

@@ -169,6 +169,7 @@ class FrameWriter:
         self._group_n = _group_size(self._o.block_size_idx)
         self._use_device = self._o.backend == "device"
         self._device_stage: list = []  # (src, window) tuples
+        self._device_pending: deque = deque()  # in-flight device batches
         self._stream: native.StreamCompressor | None = None  # sync linked
 
     # ------------------------------------------------------------------
@@ -409,20 +410,31 @@ class FrameWriter:
             desc.BLOCK_IDX_4MB: 2,
         }[self._o.block_size_idx]
 
-    def _run_device_batch(self) -> None:
-        if not self._device_stage:
-            return
-        from ..parallel import batch as dev_batch
-        staged = self._device_stage
-        self._device_stage = []
-        blocks = [s for s, _ in staged]
-        dicts = [d for _, d in staged]
-        bx = self._o.block_checksum
-        results = dev_batch.encode_blocks(
-            blocks, self._o.block_size, level=self._o.level,
-            dicts=dicts if any(d for d in dicts) else None,
-            with_checksums=bx)
-        if bx:
+    def _run_device_batch(self, wait_all: bool = False) -> None:
+        """Dispatch the staged blocks and double-buffer: batch k+1's
+        staging/H2D overlaps batch k's device compute (JAX dispatch is
+        asynchronous; Pending.result() is the only blocking point). The
+        pipeline depth is one in-flight batch — deeper queues would only
+        grow device-memory footprint, not overlap."""
+        if self._device_stage:
+            from ..parallel import batch as dev_batch
+            staged = self._device_stage
+            self._device_stage = []
+            blocks = [s for s, _ in staged]
+            dicts = [d for _, d in staged]
+            pending = dev_batch.encode_blocks_begin(
+                blocks, self._o.block_size, level=self._o.level,
+                dicts=dicts if any(d for d in dicts) else None,
+                with_checksums=self._o.block_checksum)
+            self._device_pending.append((pending, blocks))
+        while (self._device_pending if wait_all
+               else len(self._device_pending) > 1):
+            self._drain_device_one()
+
+    def _drain_device_one(self) -> None:
+        pending, blocks = self._device_pending.popleft()
+        results = pending.result()
+        if self._o.block_checksum:
             # block hashes were computed on device alongside the encode
             for src, (stored, raw, csum) in zip(blocks, results):
                 self._emit(stored, raw, len(src), checksum=csum)
@@ -444,7 +456,7 @@ class FrameWriter:
                 return
             self._drain_one()
         if wait_all:
-            self._run_device_batch()
+            self._run_device_batch(wait_all=True)
 
     def _flush_stage(self) -> None:
         self._ensure_header()
@@ -475,3 +487,4 @@ class FrameWriter:
         self._pending.clear()
         self._group = []
         self._device_stage = []
+        self._device_pending.clear()

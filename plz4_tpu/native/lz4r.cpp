@@ -945,14 +945,20 @@ struct OptParams {
                         // lz4hc.c:1929-1935, which prunes searches at
                         // positions already covered by a priced match)
 };
+// Defaults picked by tools/sweep_opt_budget.py (2026-08-18, post
+// head-entry-swap walk): the fastest config per level whose size deltas
+// vs upstream stayed non-negative on every conformance corpus — L11's
+// budget cut to 2048 and L12's to 16384/skip-1024 measured BYTE-IDENTICAL
+// to the exhaustive configs there, L9/L10's trade a slice of their
+// +20-27 KB margins for 1.7x speed.
 inline OptParams g_opt_params[13] = {
     // levels 0-8 route to greedy/HC, entries unused but keep indexing flat
     {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
     {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
-    {256, 192, 256, 256},        // 9
-    {512, 192, 256, 512},        // 10
-    {65536, 768, 256, 65536},    // 11
-    {65536, 4095, 4095, 65536},  // 12
+    {96, 128, 256, 96},          // 9
+    {128, 128, 256, 128},        // 10
+    {2048, 512, 256, 2048},      // 11
+    {16384, 4095, 1024, 16384},  // 12
 };
 
 // test-only introspection sink for the optimal parse (lz4r_opt_debug)

@@ -65,7 +65,16 @@ class Options:
     progress: Optional[ProgressFn] = None
     dictionary: Optional[bytes] = None
     worker_pool: Optional[object] = None  # object with submit(fn) -> future
-    backend: str = "auto"         # "native" | "device" | "auto"
+    # "native" | "device" | "auto". DEVICE LEVEL MAPPING: the device
+    # (TPU) backend has two parse qualities, not twelve — levels <= 2 run
+    # the greedy kernel, levels >= 3 the depth-2 chain ("mid") kernel,
+    # whose ratio lands between host L2 and L3 (~2.4-2.5 on enwik-class
+    # data vs 3.0 at native L12). Requesting backend="device", level=12
+    # buys the mid kernel's ratio at device throughput — a stated trade
+    # (pinned by tests/test_device_backend.py::test_device_level_mapping),
+    # not native-L12 parity. Use backend="native" when maximum ratio
+    # matters more than device residency.
+    backend: str = "auto"
     # write-side
     level: int = 1
     block_checksum: bool = False

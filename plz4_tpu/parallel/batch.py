@@ -117,10 +117,67 @@ def _fetch(arr) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
+def _stage(shape, dtype=np.uint8):
+    """Zeroed staging array backed by the native buffer pool: fresh multi-MB
+    numpy allocations demand-fault at >500 ms/32 MiB on this VM class;
+    pooled pages are already faulted (memset is ~100x cheaper). Returns
+    (view, backing); give the backing to native.buffer_pool when the
+    transfer is complete (Pending.result)."""
+    from .. import native as _native
+
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    raw = _native.buffer_pool.take(nbytes)
+    view = raw[:nbytes].view(dtype).reshape(shape)
+    view.fill(0)
+    return view, raw
+
+
+class Pending:
+    """A dispatched device batch. JAX dispatch is asynchronous, so the
+    device computes (and transfers stream) while the caller stages or
+    consumes other batches; result() blocks on the fetch and assembles
+    host bytes. The engine double-buffers these (reference analog: the
+    async reader/writer overlap of staging and compute, SURVEY §2.2 —
+    the round-2 device engine ran stage->dispatch->fetch serially)."""
+
+    def __init__(self, assemble, staging):
+        self._assemble = assemble
+        self._staging = staging
+        self._result = None
+        self._done = False
+
+    def result(self):
+        if not self._done:
+            try:
+                self._result = self._assemble()
+            finally:
+                from .. import native as _native
+
+                for b in self._staging:
+                    _native.buffer_pool.give(b)
+                self._staging = ()
+                self._done = True
+                self._assemble = None
+        return self._result
+
+
+_DONE_EMPTY = Pending(list, ())
+
+
 def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
                   dicts: list[bytes | None] | None = None,
                   with_checksums: bool = False):
-    """Encode a list of raw blocks on device.
+    """Synchronous convenience wrapper over encode_blocks_begin."""
+    return encode_blocks_begin(
+        blocks, block_size, level=level, dicts=dicts,
+        with_checksums=with_checksums).result()
+
+
+def encode_blocks_begin(blocks: list[bytes], block_size: int, level: int = 1,
+                        dicts: list[bytes | None] | None = None,
+                        with_checksums: bool = False) -> Pending:
+    """Dispatch a device encode batch and return a Pending (see Pending:
+    the engine overlaps the next batch's staging with this one's compute).
 
     dicts, when given, supplies a per-block window (linked mode / user
     dictionary) — blocks still encode in parallel because windows were
@@ -131,12 +188,13 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
     hashing — ops/xxh32_jax batches over the block axis).
     """
     if not blocks:
-        return []
+        return _DONE_EMPTY
     mesh = mesh_mod.active_mesh()
     B = mesh_mod.pad_batch_for_mesh(_pow2(len(blocks)), mesh)
     N = block_size
-    arr = np.zeros((B, N), dtype=np.uint8)
-    lens = np.zeros((B,), dtype=np.int32)
+    arr, arr_raw = _stage((B, N))
+    lens, lens_raw = _stage((B,), np.int32)
+    staging = [arr_raw, lens_raw]
     for i, blk in enumerate(blocks):
         if len(blk) > N:
             raise zerr.ErrSrcSize
@@ -146,8 +204,9 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
     use_dicts = dicts is not None and any(d for d in dicts)
     if use_dicts:
         D = 65536
-        darr = np.zeros((B, D), dtype=np.uint8)
-        dlens = np.zeros((B,), dtype=np.int32)
+        darr, darr_raw = _stage((B, D))
+        dlens, dlens_raw = _stage((B,), np.int32)
+        staging += [darr_raw, dlens_raw]
         for i, d in enumerate(dicts):
             if d:
                 d = d[-D:]
@@ -183,7 +242,7 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         else:
             out, totals, compressible = encode_jax.encode_batch(
                 a, l, level=level)
-    comp_hash = raw_hash = None
+    dev_comp_hash = dev_raw_hash = None
     if with_checksums:
         from ..ops import xxh32_jax
 
@@ -191,43 +250,60 @@ def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
         # host assembly picks per block by the incompressible outcome.
         # The pad/clamp runs INSIDE jit: eager ops on non-fully-addressable
         # sharded arrays are rejected under multi-controller JAX.
-        comp_hash = _fetch(_hash_padded(out, totals))
-        raw_hash = _fetch(xxh32_jax.xxh32_batch(a, l))
-    out = _fetch(out)
-    totals = _fetch(totals)
-    compressible = _fetch(compressible)
-    results = []
-    for i, blk in enumerate(blocks):
-        if len(blk) == 0:
-            stored, raw = b"", True
-        elif bool(compressible[i]) and int(totals[i]) < len(blk):
-            stored, raw = out[i, : int(totals[i])].tobytes(), False
-        else:
-            stored, raw = blk, True
+        dev_comp_hash = _hash_padded(out, totals)
+        dev_raw_hash = xxh32_jax.xxh32_batch(a, l)
+
+    def assemble():
+        comp_hash = raw_hash = None
         if with_checksums:
+            comp_hash = _fetch(dev_comp_hash)
+            raw_hash = _fetch(dev_raw_hash)
+        outs = _fetch(out)
+        tot = _fetch(totals)
+        comp = _fetch(compressible)
+        results = []
+        for i, blk in enumerate(blocks):
             if len(blk) == 0:
-                csum = 0x02cc5d05  # xxh32(b"")
+                stored, raw = b"", True
+            elif bool(comp[i]) and int(tot[i]) < len(blk):
+                stored, raw = outs[i, : int(tot[i])].tobytes(), False
             else:
-                csum = int(raw_hash[i]) if raw else int(comp_hash[i])
-            results.append((stored, raw, csum))
-        else:
-            results.append((stored, raw))
-    return results
+                stored, raw = blk, True
+            if with_checksums:
+                if len(blk) == 0:
+                    csum = 0x02cc5d05  # xxh32(b"")
+                else:
+                    csum = int(raw_hash[i]) if raw else int(comp_hash[i])
+                results.append((stored, raw, csum))
+            else:
+                results.append((stored, raw))
+        return results
+
+    return Pending(assemble, staging)
 
 
 def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
                   dict_: bytes | None = None,
                   checksums: list | None = None) -> list[bytes]:
-    """Decode a list of (stored_bytes, uncompressed_flag) blocks on device.
+    """Synchronous convenience wrapper over decode_blocks_begin."""
+    return decode_blocks_begin(
+        stored, block_size, dict_=dict_, checksums=checksums).result()
+
+
+def decode_blocks_begin(stored: list[tuple[bytes, bool]], block_size: int,
+                        dict_: bytes | None = None,
+                        checksums: list | None = None) -> Pending:
+    """Dispatch a device decode batch of (stored_bytes, uncompressed_flag)
+    blocks; Pending.result() yields the decoded bytes in order.
 
     Uncompressed blocks pass through (reference: async/reader.go:149-163
     routes them around the workers). `checksums`, when given, carries the
     frame\'s expected per-block xxh32 values: compressed blocks verify on
     device in one batched hash (ops/xxh32_jax), raw pass-through blocks on
-    the host.
+    the host (immediately, at dispatch).
     """
     if not stored:
-        return []
+        return _DONE_EMPTY
     comp_idx = [i for i, (_, unc) in enumerate(stored) if not unc]
     results: list[bytes | None] = [
         data if unc else None for (data, unc) in stored]
@@ -239,13 +315,15 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
                 if _native.xxh32(data) != checksums[i]:
                     raise zerr.ErrBlockHash
     if not comp_idx:
-        return results  # type: ignore[return-value]
+        return Pending(lambda: results, ())
 
     mesh = mesh_mod.active_mesh()
     B = mesh_mod.pad_batch_for_mesh(_pow2(len(comp_idx)), mesh)
     C = block_size + 16
-    arr = np.zeros((B, C), dtype=np.uint8)
-    clens = np.ones((B,), dtype=np.int32)
+    arr, arr_raw = _stage((B, C))
+    clens, clens_raw = _stage((B,), np.int32)
+    staging = [arr_raw, clens_raw]
+    clens.fill(1)
     arr[:, 0] = EMPTY_BLOCK[0]
     for j, i in enumerate(comp_idx):
         data = stored[i][0]
@@ -279,20 +357,27 @@ def decode_blocks(stored: list[tuple[bytes, bool]], block_size: int,
         else:
             out, n_out, ok = decode_jax.decode_batch(a, l, out_cap=block_size)
 
+    dev_hash = None
     if checksums is not None and any(
             checksums[i] is not None for i in comp_idx):
         from ..ops import xxh32_jax
 
-        got = _fetch(xxh32_jax.xxh32_batch(a, l))
+        dev_hash = xxh32_jax.xxh32_batch(a, l)
+
+    def assemble():
+        if dev_hash is not None:
+            got = _fetch(dev_hash)
+            for j, i in enumerate(comp_idx):
+                want = checksums[i]
+                if want is not None and int(got[j]) != want:
+                    raise zerr.ErrBlockHash
+        outs = _fetch(out)
+        n = _fetch(n_out)
+        okv = _fetch(ok)
         for j, i in enumerate(comp_idx):
-            want = checksums[i]
-            if want is not None and int(got[j]) != want:
-                raise zerr.ErrBlockHash
-    out = _fetch(out)
-    n_out = _fetch(n_out)
-    ok = _fetch(ok)
-    for j, i in enumerate(comp_idx):
-        if not bool(ok[j]):
-            raise zerr.ErrDecompress
-        results[i] = out[j, : int(n_out[j])].tobytes()
-    return results  # type: ignore[return-value]
+            if not bool(okv[j]):
+                raise zerr.ErrDecompress
+            results[i] = outs[j, : int(n[j])].tobytes()
+        return results
+
+    return Pending(assemble, staging)

@@ -125,3 +125,56 @@ def test_device_block_checksums_computed_on_device(monkeypatch):
     with pytest.raises(zerr.Lz4Error) as ei:
         plz4_tpu.decompress(bytes(blob), backend="device")
     assert ei.value is zerr.ErrBlockHash
+
+
+def test_device_level_mapping():
+    """Pin the documented device level->parse-quality mapping (opts.py):
+    levels <= 2 route to the greedy kernel, levels >= 3 to the depth-2
+    "mid" kernel — device level 12 is mid quality (between native L1 and
+    L2 on text-class blocks), NOT native-L12 parity.
+    Pins both the routing (greedy/mid sizes differ, mid wins) and the
+    ratio band per kernel so a silent quality change fails loudly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from plz4_tpu import native
+    from plz4_tpu.ops import encode_pallas
+
+    data = make_compressible(8000, seed=41)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lens = jnp.int32(len(data))
+
+    out_g, tot_g, ok_g = encode_pallas.encode_block_pallas(
+        jnp.asarray(buf), lens, interpret=True)
+    out_m, tot_m, ok_m = encode_pallas.encode_block_pallas_mid(
+        jnp.asarray(buf), lens, interpret=True)
+    assert bool(ok_g) and bool(ok_m)
+    size_g, size_m = int(tot_g), int(tot_m)
+
+    # both decode bit-exactly via the native codec
+    for out, size in ((out_g, size_g), (out_m, size_m)):
+        comp = np.asarray(out)[:size].tobytes()
+        assert native.decompress(comp, len(data)) == data
+
+    # mid (device levels >= 3) must compress strictly better than greedy
+    # (device levels <= 2) ...
+    assert size_m < size_g
+    # ... and the band vs the native ladder is the documented trade:
+    # greedy tracks native L1, mid lands BETWEEN native L1 and L2 on this
+    # corpus — far above native L12's size (the trade opts.py documents)
+    n1 = len(native.compress(data, level=1))
+    n2 = len(native.compress(data, level=2))
+    n12 = len(native.compress(data, level=12))
+    assert abs(size_g - n1) <= n1 * 0.02, (size_g, n1)
+    assert n2 < size_m < n1, (n2, size_m, n1)
+    assert size_m > n12 * 1.1, (size_m, n12)
+
+    # public API: device level 12 does NOT deliver native-L12 parity —
+    # the documented trade (opts.py) — regardless of which device kernel
+    # family serves the request (pallas on TPU, XLA array path off-TPU)
+    c12 = plz4.compress(PAYLOAD, backend="device", level=12,
+                        content_checksum=False)
+    assert plz4.decompress(c12) == PAYLOAD
+    n12_frame = plz4.compress(PAYLOAD, backend="native", level=12,
+                              content_checksum=False)
+    assert len(c12) > len(n12_frame) * 1.1, (len(c12), len(n12_frame))

@@ -593,6 +593,8 @@ def main():
         exp_condcost()
     if "bwablate" in which:
         exp_bwablate()
+    if "vprims" in which:
+        exp_vprims()
 
 
 
@@ -1091,3 +1093,119 @@ def exp_bytewide():
 
 if __name__ == "__main__":
     main()
+
+
+def exp_vprims():
+    """Lowering + cost probes for the seq-table/VPU-literal-placement
+    decode idea (perf_notes 'Remaining per-chip headroom'): does Mosaic
+    support (a) pltpu.roll with a DYNAMIC shift, (b) dynamic-offset vector
+    loads/stores on VMEM refs, (c) a vector op inside the scalar
+    sequence loop without wrecking the scalar pipeline? Each probe is
+    try/except — an unsupported lowering is a RESULT (it kills the
+    scheme), not an error."""
+    M = 4096  # i32 words (16 KiB)
+
+    def run_case(label, kern, n_iter_lo, n_iter_hi, per_what):
+        def build(n_iter):
+            @jax.jit
+            def f(x):
+                return pl.pallas_call(
+                    functools.partial(kern, n_iter=n_iter),
+                    out_shape=jax.ShapeDtypeStruct((M,), I32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                )(x)
+            return f
+
+        try:
+            x = jnp.arange(M, dtype=I32) % 251
+            f_lo, f_hi = build(n_iter_lo), build(n_iter_hi)
+            int(jnp.sum(f_lo(x)))  # compile+run
+            int(jnp.sum(f_hi(x)))
+            tl = min(_t(lambda: int(jnp.sum(f_lo(x + r))))
+                     for r in range(3))
+            th = min(_t(lambda: int(jnp.sum(f_hi(x + r))))
+                     for r in range(3))
+            per = (th - tl) / (n_iter_hi - n_iter_lo)
+            print(f"vprims {label}: {per * 1e9:8.1f} ns/{per_what}")
+        except Exception as e:  # noqa: BLE001 - lowering failures are data
+            msg = str(e).replace("\n", " ")[:160]
+            print(f"vprims {label}: LOWERING/RUN FAILED: {msg}")
+
+    # (a) dynamic-shift roll on a vector register value
+    def k_roll(x_ref, o_ref, *, n_iter):
+        def body(s):
+            i, v = s
+            v = pltpu.roll(v, i & 127, 0)
+            return i + 1, v
+        _, v = jax.lax.while_loop(lambda s: s[0] < n_iter, body,
+                                  (jnp.int32(0), x_ref[:128]))
+        o_ref[:128] = v
+        o_ref[128] = 0
+
+    run_case("dyn-roll(128xi32)", k_roll, 1 << 10, 1 << 13, "roll")
+
+    # (b) dynamic-offset vector load + store (128-lane slice of VMEM)
+    def k_dynvec(x_ref, o_ref, *, n_iter):
+        def body(s):
+            i, acc = s
+            d = (i * 89) & (M - 1 - 128)
+            v = x_ref[pl.ds(d, 128)]
+            o_ref[pl.ds((i * 53) & (M - 1 - 128), 128)] = v + acc
+            return i + 1, acc + 1
+        _, acc = jax.lax.while_loop(lambda s: s[0] < n_iter, body,
+                                    (jnp.int32(0), jnp.int32(0)))
+        o_ref[0] = acc
+
+    run_case("dyn-vec-load+store(128xi32)", k_dynvec, 1 << 10, 1 << 13,
+             "copy128")
+
+    # (c) scalar SMEM loop with one vector VMEM op mixed in per iteration:
+    # marginal cost of the vector op inside a scalar-core loop
+    def mk_mixed(with_vec):
+        def k(xs_ref, xv_ref, o_ref, ov_ref, *, n_iter):
+            def body(s):
+                i, acc = s
+                acc = acc + xs_ref[i & 1023]          # scalar SMEM work
+                if with_vec:
+                    d = (i * 89) & (M - 1 - 128)
+                    ov_ref[pl.ds(d, 128)] = xv_ref[pl.ds(d, 128)] + i
+                return i + 1, acc
+            _, acc = jax.lax.while_loop(lambda s: s[0] < n_iter, body,
+                                        (jnp.int32(0), jnp.int32(0)))
+            o_ref[0] = acc
+        return k
+
+    def run_mixed(label, with_vec, n_lo, n_hi):
+        def build(n_iter):
+            @jax.jit
+            def f(xs, xv):
+                return pl.pallas_call(
+                    functools.partial(mk_mixed(with_vec), n_iter=n_iter),
+                    out_shape=(jax.ShapeDtypeStruct((4,), I32),
+                               jax.ShapeDtypeStruct((M,), I32)),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                               pl.BlockSpec(memory_space=pltpu.ANY)),
+                )(xs, xv)
+            return f
+
+        try:
+            xs = jnp.arange(1024, dtype=I32) % 17
+            xv = jnp.arange(M, dtype=I32) % 251
+            f_lo, f_hi = build(n_lo), build(n_hi)
+            int(f_lo(xs, xv)[0][0])
+            int(f_hi(xs, xv)[0][0])
+            tl = min(_t(lambda: int(f_lo(xs + r, xv)[0][0]))
+                     for r in range(3))
+            th = min(_t(lambda: int(f_hi(xs + r, xv)[0][0]))
+                     for r in range(3))
+            per = (th - tl) / (n_hi - n_lo)
+            print(f"vprims {label}: {per * 1e9:8.1f} ns/iter")
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).replace("\n", " ")[:160]
+            print(f"vprims {label}: LOWERING/RUN FAILED: {msg}")
+
+    run_mixed("scalar-loop-alone", False, 1 << 12, 1 << 15)
+    run_mixed("scalar-loop+vec-copy", True, 1 << 12, 1 << 15)
