@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-BLOCK = 64 * 1024
+BLOCK = int(os.environ.get("PLZ4_BENCH_BLOCK", str(64 * 1024)))
 DEVICE_CHUNK = int(os.environ.get("PLZ4_BENCH_CHUNK", "32"))
 
 

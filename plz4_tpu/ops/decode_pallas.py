@@ -23,6 +23,7 @@ the fast shape for byte-granular work on this hardware.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -596,7 +597,7 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     return unpack_words(ow), n_out[0], ok[0] != 0
 
 
-def _decode_kernel_bw(*refs, vals: bool = False):
+def _decode_kernel_bw(*refs, vals: bool = False, small4: bool = False):
     """Byte-wide decode: one byte per int32 SMEM element, so byte
     loads/stores are single ops with no shift/mask RMW, and — measured on
     chip (tools/tpu_kernel_lab.py addrfold) — constant offsets from one
@@ -787,8 +788,12 @@ def _decode_kernel_bw(*refs, vals: bool = False):
         # average need of ~10 B/seq): a SMALL tier sized for the common
         # sequence (lit <= 8, match <= 16: one literal group, prologue +
         # one match group) and the full tier (lit <= 14, match <= 18).
+        # small4: 4-wide second match group (A/B candidate, perf_notes
+        # "4-wide copy groups"): trims 4 of the 16 match copy ops on the
+        # ~92% tier at the cost of shrinking its match cap to ml <= 12
+        # (CDF: ml <= 12 covers 96.2%)
         gate_small = ((ip + 20 <= clen) & (op + 32 <= Nl) & (op >= 16)
-                      & (lit <= 8) & (mlr <= 12))
+                      & (lit <= 8) & (mlr <= (8 if small4 else 12)))
 
         def fast_small():
             s0 = ip + 1
@@ -816,10 +821,11 @@ def _decode_kernel_bw(*refs, vals: bool = False):
             o_ref[d2 + 1] = o_ref[s2 + 1]
             o_ref[d2 + 2] = o_ref[s2 + 2]
             o_ref[d2 + 3] = o_ref[s2 + 3]
-            o_ref[d2 + 4] = o_ref[s2 + 4]
-            o_ref[d2 + 5] = o_ref[s2 + 5]
-            o_ref[d2 + 6] = o_ref[s2 + 6]
-            o_ref[d2 + 7] = o_ref[s2 + 7]
+            if not small4:  # 8-wide group covers ml <= 16
+                o_ref[d2 + 4] = o_ref[s2 + 4]
+                o_ref[d2 + 5] = o_ref[s2 + 5]
+                o_ref[d2 + 6] = o_ref[s2 + 6]
+                o_ref[d2 + 7] = o_ref[s2 + 7]
             m_n = jnp.where(bad, 0, ml)
             return (mp + 2, opl + m_n,
                     ((ok != 0) & jnp.logical_not(bad)).astype(I32),
@@ -923,7 +929,12 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
         inputs.append(jnp.reshape(clen.astype(I32), (1,)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         ob, n_out, ok = pl.pallas_call(
-            functools.partial(_decode_kernel_bw, vals=vals),
+            functools.partial(
+                _decode_kernel_bw, vals=vals,
+                # lab A/B switch (tools/bench_kernels.py): 4-wide second
+                # match group in the small tier; default off pending an
+                # on-chip two-k result
+                small4=bool(os.environ.get("PLZ4_DEC_SMALL4"))),
             out_shape=(
                 jax.ShapeDtypeStruct((out_cap + 16,), I32),
                 jax.ShapeDtypeStruct((1,), I32),

@@ -16,6 +16,7 @@ total >= n so the frame layer stores them raw.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -393,7 +394,8 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
     ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
 
 
-def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
+def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False,
+                      hashes: bool = False, depth4: bool = False):
     """Byte-wide encode: one byte per int32 SMEM element. Byte loads are
     single ops and constant offsets from one dynamic base fold into the
     memory op (measured: tools/tpu_kernel_lab.py addrfold), so the hash
@@ -407,7 +409,14 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
     every u32 read in the scan collapses from 4 loads + 3 shift/ors to a
     single SMEM load. Costs one extra input-sized SMEM operand, so callers
     enable it only when the element budget allows (_bw_fits)."""
-    if vals:
+    h_ref = None
+    tab3_ref = tab4_ref = None
+    if depth4:  # depth-4 mid chain: two extra scratch tables at the end
+        refs, tab3_ref, tab4_ref = refs[:-2], refs[-2], refs[-1]
+    if vals and hashes:
+        (c_ref, v_ref, h_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
+         tab2_ref) = refs
+    elif vals:
         (c_ref, v_ref, n_ref, o_ref, total_ref, ok_ref, tab_ref,
          tab2_ref) = refs
     else:
@@ -424,6 +433,15 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
 
     def hash4(u32):
         return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HL)
+
+    if hashes:
+        # VPU-precomputed hash table (same trick as v_ref): 1 load
+        # replaces mul+shift at every scanned/inserted position
+        def hash_at(p, u):
+            return h_ref[p]
+    else:
+        def hash_at(p, u):
+            return hash4(u)
 
     if vals:
         def rd_u32(p):
@@ -443,6 +461,9 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
         for k in range(8):
             tab_ref[b + k] = 0
             tab2_ref[b + k] = 0
+            if depth4:
+                tab3_ref[b + k] = 0
+                tab4_ref[b + k] = 0
         return 0
 
     jax.lax.fori_loop(0, (1 << HL) // 8, tinit, 0)
@@ -450,8 +471,11 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
     # ---- window preload (reference: LZ4_loadDict analog) ----------------
     def wload(p, _):
         u = rd_u32(p)
-        h = hash4(u)
+        h = hash_at(p, u)
         if mid:
+            if depth4:
+                tab4_ref[h] = tab3_ref[h]
+                tab3_ref[h] = tab2_ref[h]
             tab2_ref[h] = tab_ref[h]
         else:
             tab2_ref[h] = u
@@ -545,9 +569,14 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
 
             def s_body(s):
                 sip, cnt, _, _, u = s
-                h = hash4(u)
+                h = hash_at(sip, u)
                 candA = tab_ref[h] - 1
                 candB = tab2_ref[h] - 1
+                if depth4:
+                    candC = tab3_ref[h] - 1
+                    candD = tab4_ref[h] - 1
+                    tab4_ref[h] = candC + 1
+                    tab3_ref[h] = candB + 1
                 tab2_ref[h] = candA + 1
                 tab_ref[h] = sip + 1
 
@@ -568,6 +597,16 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
                 lb = jnp.where(goodB, 1 + quick_len(candB), 0)
                 cand = jnp.where(lb > la, candB, candA)
                 good = goodA | goodB
+                if depth4:
+                    best_l = jnp.maximum(la, lb)
+                    goodC = valid(candC)
+                    goodD = valid(candD)
+                    lc = jnp.where(goodC, 1 + quick_len(candC), 0)
+                    ld = jnp.where(goodD, 1 + quick_len(candD), 0)
+                    cand = jnp.where(lc > best_l, candC, cand)
+                    best_l = jnp.maximum(best_l, lc)
+                    cand = jnp.where(ld > best_l, candD, cand)
+                    good = good | goodC | goodD
                 nsip = jnp.where(good, sip, sip + 1)
                 # branchless reread (nsip <= mflimit + 1 <= end - 11; the
                 # data carries 8 bytes of tail slack): cheaper than a
@@ -585,7 +624,7 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
 
             def s_body(s):
                 sip, cnt, _, _, u = s
-                h = hash4(u)
+                h = hash_at(sip, u)
                 cand = tab_ref[h] - 1
                 cval = tab2_ref[h]
                 tab_ref[h] = sip + 1
@@ -647,8 +686,11 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
             op2 = emit_sequence(op, anchor, mip, mpos, mlen)
             nip = mip + mlen
             u2 = rd_u32_clip(nip - 2)
-            h2 = hash4(u2)
+            h2 = hash_at(nip - 2, u2)
             if mid:
+                if depth4:
+                    tab4_ref[h2] = tab3_ref[h2]
+                    tab3_ref[h2] = tab2_ref[h2]
                 tab2_ref[h2] = tab_ref[h2]
             else:
                 tab2_ref[h2] = u2
@@ -682,9 +724,11 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False):
 _BW_MAX_ELEMS = 230 * 1024
 
 
-def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False) -> bool:
+def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False,
+             hashes: bool = False) -> bool:
     tables = 2 * (1 << (MID_HASH_LOG if mid else HASH_LOG))
-    return n_in * (2 if vals else 1) + cap + tables <= _BW_MAX_ELEMS
+    per_in = 1 + (1 if vals else 0) + (1 if hashes else 0)
+    return n_in * per_in + cap + tables <= _BW_MAX_ELEMS
 
 
 def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
@@ -697,6 +741,11 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
     HL = MID_HASH_LOG if mid else HASH_LOG
     ci = combined_u8.astype(I32)
     vals = _bw_fits(ci.shape[0], cap, mid, vals=True)
+    # VPU-precomputed hash table: fits only when a THIRD input-sized
+    # operand stays inside the SMEM budget (<= ~32 KiB blocks at greedy);
+    # lab A/B switch, pending an on-chip two-k result
+    hashes = (vals and bool(os.environ.get("PLZ4_ENC_HASHTAB"))
+              and _bw_fits(ci.shape[0], cap, mid, vals=True, hashes=True))
     inputs = [ci]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     if vals:
@@ -705,10 +754,19 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
              | (pad[3:] << 24))
         inputs.append(v)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if hashes:
+            hmul = jnp.int32(HASH_MUL)
+            inputs.append(jax.lax.shift_right_logical(v * hmul, 32 - HL))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inputs.append(meta)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    # depth-4 mid chain (two extra 2^13 tables): lab A/B switch for the
+    # device-level ratio/throughput frontier (VERDICT r2 #3a)
+    depth4 = mid and bool(os.environ.get("PLZ4_MID_DEPTH4"))
+    n_tables = 4 if depth4 else 2
     ob, total, ok = pl.pallas_call(
-        functools.partial(_encode_kernel_bw, mid=mid, vals=vals),
+        functools.partial(_encode_kernel_bw, mid=mid, vals=vals,
+                          hashes=hashes, depth4=depth4),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
@@ -720,8 +778,7 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.SMEM((1 << HL,), I32),
-                        pltpu.SMEM((1 << HL,), I32)],
+        scratch_shapes=[pltpu.SMEM((1 << HL,), I32)] * n_tables,
         interpret=interpret,
     )(*inputs)
     return ob.astype(jnp.uint8), total[0], ok[0] != 0
