@@ -37,6 +37,12 @@ def _log(*a):
 
 def main() -> None:
     import jax
+
+    # honor JAX_PLATFORMS=cpu for the virtual-mesh smoke run: the env var
+    # alone does NOT displace the environment's preset axon platform
+    # (CLAUDE.md hazard) — the config update does
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
