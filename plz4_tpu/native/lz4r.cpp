@@ -372,6 +372,25 @@ struct ChainFinder {
     std::vector<uint16_t> chain;
     uint32_t next_insert;         // next position to insert
     uint32_t floor_pos;           // positions below this are invalid
+    // 5-gram mode (opt-parse finders only): chains are keyed on 5-byte
+    // grams, splitting text-class buckets 10-26x finer, plus a chainless
+    // 4-gram head table. EXACT by construction: every match of length
+    // >= 5 contains the probe's 5-gram (so the 5-gram bucket enumerates
+    // all possible beaters), and a length-4 match costs the same wire
+    // bytes at ANY offset, so the NEAREST 4-gram occurrence — the head4
+    // entry — is as good as any deeper one. HC's widest-match search
+    // (levels 2-8) scores back+forward and must stay on 4-gram chains
+    // (a candidate with 4 forward bytes + back extension need not share
+    // the 5th byte).
+    bool g5 = false;
+    std::vector<uint32_t> head4;  // last 4-gram BUCKET entry+1 (g5 only)
+    // 4-gram bucket delta ring (g5 only): head4 alone loses the nearest
+    // occurrence to hash collisions (a later colliding gram shadows it —
+    // measured 37 lost length-4 matches per 64 KiB on templated rows);
+    // the ring lets the length-4 recovery walk to the first VERIFIED
+    // occurrence, which is exact (nearest == as good as any at equal
+    // length). Touched only on insert + the rare recovery walk.
+    std::vector<uint16_t> chain4;
 
     // Single-byte-run segment cache for pattern analysis: consecutive
     // find() calls walk the same dense segments; measuring a multi-KB run
@@ -395,15 +414,31 @@ struct ChainFinder {
           next_insert(0),
           floor_pos(0) {}
 
-    ChainFinder(const uint8_t* wb, size_t total) : ChainFinder() {
+    ChainFinder(const uint8_t* wb, size_t total, bool use_g5 = false)
+        : ChainFinder() {
         (void)total;
         wbase = wb;
         low_base = wb;
+        g5 = use_g5;
+        if (g5) {
+            head4.assign((size_t)1 << 15, 0);
+            chain4.assign(1 << 16, 0);
+        }
+    }
+
+    // gram hash at position p. g5 reads 8 bytes: callers guarantee 8
+    // bytes of tail slack past every inserted/probed position (inserts
+    // stop at mflimit-class bounds, blocks below MFLIMIT+1 never build a
+    // finder).
+    uint32_t hashp(const uint8_t* p) const {
+        return g5 ? hash5(p, hashlog) : hash4(read32(p), hashlog);
     }
 
     void reset() {
         std::fill(head.begin(), head.end(), 0);
         std::fill(chain.begin(), chain.end(), 0);
+        std::fill(head4.begin(), head4.end(), 0);
+        std::fill(chain4.begin(), chain4.end(), 0);
         next_insert = 0;
         floor_pos = 0;
         wbase = low_base = nullptr;
@@ -428,18 +463,29 @@ struct ChainFinder {
         // prefetch the head bucket a few positions ahead: the random head
         // access is the insert loop's only cache-unfriendly touch
         for (; i + 8 < target; ++i) {
-            __builtin_prefetch(&head[hash4(read32(wbase + i + 8), hashlog)],
-                               1);
-            uint32_t h = hash4(read32(wbase + i), hashlog);
+            __builtin_prefetch(&head[hashp(wbase + i + 8)], 1);
+            uint32_t h = hashp(wbase + i);
             uint32_t d = head[h] ? i + 1 - head[h] : 0;
             chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
+            if (g5) {
+                uint32_t h4 = hash4(read32(wbase + i), hashlog);
+                uint32_t d4 = head4[h4] ? i + 1 - head4[h4] : 0;
+                chain4[i & 0xFFFF] = d4 > 65535 ? 0 : (uint16_t)d4;
+                head4[h4] = i + 1;
+            }
         }
         for (; i < target; ++i) {
-            uint32_t h = hash4(read32(wbase + i), hashlog);
+            uint32_t h = hashp(wbase + i);
             uint32_t d = head[h] ? i + 1 - head[h] : 0;
             chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
+            if (g5) {
+                uint32_t h4 = hash4(read32(wbase + i), hashlog);
+                uint32_t d4 = head4[h4] ? i + 1 - head4[h4] : 0;
+                chain4[i & 0xFFFF] = d4 > 65535 ? 0 : (uint16_t)d4;
+                head4[h4] = i + 1;
+            }
         }
         next_insert = target;
     }
@@ -486,8 +532,7 @@ struct ChainFinder {
         insert_upto(ip);
         PLZ4_STAT(++g_cfstats.finds);
         uint32_t pos = (uint32_t)(ip - wbase);
-        uint32_t h = hash4(read32(ip), hashlog);
-        uint32_t cand = head[h];
+        uint32_t cand = head[hashp(ip)];
         int best = 0;
         if (seed_len >= MINMATCH) {
             best = seed_len;
@@ -508,6 +553,25 @@ struct ChainFinder {
         const bool pa_ok = first4 == 0x01010101u * (uint8_t)first4;
         const uint8_t pb = (uint8_t)first4;
         int src_run = -1;                       // lazily measured
+        if (g5 && best < MINMATCH) {
+            // length-4 coverage in 5-gram mode: the NEAREST 4-gram
+            // occurrence is as good as any (offsets cost 2 bytes at any
+            // distance), and longer matches are the 5-gram walk's job
+            uint32_t c4 = head4[hash4(first4, hashlog)];
+            if (c4 != 0 && c4 - 1 >= lowest) {
+                const uint8_t* mp4 = wbase + (c4 - 1);
+                if (read32(mp4) == first4) {
+                    int len = count_match(ip, mp4, matchlimit);
+                    if (len >= MINMATCH) {
+                        best = len;
+                        *mpos = mp4;
+                        if (ip + best >= matchlimit) return best;
+                        if (best >= sufficient) return best;
+                        need_swap = true;
+                    }
+                }
+            }
+        }
         // hoisted boundary probe (src side): refreshed on improvement.
         // Inside the loop ip + best < matchlimit is invariant (guarded at
         // entry and re-checked on every improvement), so pip + 4 is in
@@ -653,7 +717,9 @@ struct ChainFinder {
                 uint32_t bpos = (uint32_t)(*mpos - wbase);
                 need_swap = false;
                 if (best > MINMATCH && bpos + (uint32_t)best <= pos) {
-                    int end = best - MINMATCH;  // span gram offsets [0, end]
+                    // span gram offsets [0, end]: a gram at offset k lies
+                    // inside the match span iff k + gramlen <= best
+                    int end = best - (g5 ? MINMATCH + 1 : MINMATCH);
                     uint32_t bestd = 0, bmcp = 0;
                     bool dead = false;
                     int accel = 1 << 4;  // accelerating scan on long spans
@@ -702,8 +768,7 @@ struct ChainFinder {
                         // member. This lets a far-offset carried seed swap
                         // immediately instead of walking the dense head
                         // bucket singly down to the seed position.
-                        uint32_t m2 = head[hash4(read32(ip + (int)mcp),
-                                                 hashlog)];
+                        uint32_t m2 = head[hashp(ip + (int)mcp)];
                         for (;;) {
                             if (m2 == 0) break;
                             uint32_t mem = m2 - 1;
@@ -738,6 +803,26 @@ struct ChainFinder {
                 uint32_t member = cpos + mcp - d_pre;
                 if (member < floor_pos || member < mcp) break;
                 cand = member - mcp + 1;
+            }
+        }
+        if (g5 && best < MINMATCH) {
+            // length-4 recovery: the entry probe only checks the last
+            // 4-gram BUCKET entry, which hash collisions can shadow —
+            // walk the 4-gram ring to the first VERIFIED occurrence
+            // (nearest is as good as any at equal length; anything
+            // longer would have been found by the 5-gram walk)
+            uint32_t c4 = head4[hash4(first4, hashlog)];
+            int rb = nb_attempts > 16 ? nb_attempts : 16;
+            while (c4 != 0 && c4 - 1 >= lowest && rb-- > 0) {
+                const uint8_t* mp4 = wbase + (c4 - 1);
+                if (read32(mp4) == first4) {
+                    best = count_match(ip, mp4, matchlimit);
+                    *mpos = mp4;
+                    break;
+                }
+                uint32_t d4 = chain4[(c4 - 1) & 0xFFFF];
+                if (d4 == 0) break;
+                c4 -= d4;
             }
         }
         return best >= MINMATCH ? best : 0;
@@ -1053,7 +1138,9 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     auto t_p1 = std::chrono::steady_clock::now();
 #endif
     {
-        ChainFinder cf(wbase, (size_t)(iend - wbase));
+        // 5-gram chains + 4-gram head: same match lengths by construction
+        // (see ChainFinder::g5), text-class buckets split 10-26x finer
+        ChainFinder cf(wbase, (size_t)(iend - wbase), /*use_g5=*/true);
         if (src > wbase) cf.insert_upto(src);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
