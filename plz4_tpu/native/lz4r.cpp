@@ -1041,7 +1041,7 @@ inline OptParams g_opt_params[13] = {
     {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
     {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
     {96, 128, 256, 96},          // 9
-    {128, 128, 256, 128},        // 10
+    {96, 128, 256, 96},          // 10
     {2048, 512, 256, 2048},      // 11
     {16384, 4095, 1024, 16384},  // 12
 };
