@@ -1139,8 +1139,19 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
 #endif
     {
         // 5-gram chains + 4-gram head: same match lengths by construction
-        // (see ChainFinder::g5), text-class buckets split 10-26x finer
-        ChainFinder cf(wbase, (size_t)(iend - wbase), /*use_g5=*/true);
+        // (see ChainFinder::g5), text-class buckets split 10-26x finer.
+        // Thread-local + attach(): constructing fresh tables per call
+        // paid ~640 KiB of zeroing + first-touch faults per block; the
+        // floor_pos epoch makes stale entries self-rejecting (the same
+        // scheme compress_hc uses).
+        static thread_local ChainFinder tl_cf_opt;
+        ChainFinder& cf = tl_cf_opt;
+        if (!cf.g5) {
+            cf.g5 = true;
+            cf.head4.assign((size_t)1 << 15, 0);
+            cf.chain4.assign(1 << 16, 0);
+        }
+        cf.attach(wbase);
         if (src > wbase) cf.insert_upto(src);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
