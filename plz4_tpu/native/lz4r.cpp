@@ -528,7 +528,7 @@ struct ChainFinder {
     //   both exactly and jump the walk to before the whole segment.
     int find(const uint8_t* ip, const uint8_t* matchlimit, int nb_attempts,
              const uint8_t** mpos, int sufficient = SUFFICIENT_LEN,
-             int seed_len = 0, int seed_off = 0) {
+             int seed_len = 0, int seed_off = 0, int pa_cap = 1 << 30) {
         insert_upto(ip);
         PLZ4_STAT(++g_cfstats.finds);
         uint32_t pos = (uint32_t)(ip - wbase);
@@ -553,6 +553,10 @@ struct ChainFinder {
         const bool pa_ok = first4 == 0x01010101u * (uint8_t)first4;
         const uint8_t pb = (uint8_t)first4;
         int src_run = -1;                       // lazily measured
+        // Per-find cap on pattern-analysis segment visits (see OptParams
+        // .pa_budget; part of the KNOWN APPROXIMATION budget, validated
+        // by the conformance corpora + 500-seed adversarial sweep)
+        int pa_budget = pa_cap;
         if (g5 && best < MINMATCH) {
             // length-4 coverage in 5-gram mode: the NEAREST 4-gram
             // occurrence is as good as any (offsets cost 2 bytes at any
@@ -683,29 +687,50 @@ struct ChainFinder {
                 for (uint32_t qp : probes) {
                     if (qp >= pos) continue;
                     const uint8_t* qptr = wbase + qp;
-                    // extension-first filter (exact): a probe that cannot
-                    // reproduce the current boundary cannot beat best
-                    if (best >= MINMATCH &&
-                        read32(qptr + best - 3) != pat4)
-                        continue;
-                    int len = count_match(ip, qptr, matchlimit);
+                    int len;
+                    if (best >= MINMATCH) {
+                        // extension-first (exact): candidates that cannot
+                        // reproduce the boundary exit in 1 load; ties in
+                        // O(1); only true extenders pay the head check —
+                        // self-similar run boundaries made full
+                        // count_match probes O(best) each
+                        if (read32(qptr + best - 3) != pat4)
+                            continue;
+                        int c1 = count_match(pip, qptr + best - 3,
+                                             matchlimit);
+                        if (c1 < 4)
+                            continue;
+                        if (count_match(ip, qptr, pip) != best - 3)
+                            continue;
+                        len = best - 3 + c1;
+                    } else {
+                        len = count_match(ip, qptr, matchlimit);
+                    }
                     if (len > best) {
                         best = len;
                         *mpos = qptr;
                         need_swap = true;
                         improved = true;
+                        if (ip + best >= matchlimit)
+                            break;  // unbeatable; the walk break follows
+                        // refresh before the next probe uses them
+                        pip = ip + best - 3;
+                        pat4 = read32(pip);
                     }
                 }
                 if (best >= MINMATCH &&
                     (ip + best >= matchlimit || best >= sufficient))
                     break;
-                if (improved) {  // keep the hoisted boundary probe fresh
-                    pip = ip + best - 3;
-                    pat4 = read32(pip);
-                }
+                (void)improved;
                 // skip the whole dense segment (beaters below s only);
-                // a swap inside the span would just re-walk the run
+                // a swap inside the span would just re-walk the run.
+                // (A swap handoff once best extends past the source run
+                // was tried and measured WORSE on text+zero-run data:
+                // run/text boundary grams repeat across runs there, so
+                // the swapped bucket is dense too and the span scans
+                // cost more than the segment jumps they replaced.)
                 PLZ4_STAT(++g_cfstats.pa_segs);
+                if (--pa_budget < 0) break;
                 need_swap = false;
                 uint32_t dseg = chain[s & 0xFFFF];
                 if (dseg == 0 || s - dseg < floor_pos) break;
@@ -1029,6 +1054,10 @@ struct OptParams {
                         // (analog of upstream's price-plateau search skip,
                         // lz4hc.c:1929-1935, which prunes searches at
                         // positions already covered by a priced match)
+    int pa_budget;      // pattern-analysis segment visits per find: text
+                        // interleaved with many short same-byte runs
+                        // otherwise enumerates every run segment in the
+                        // window at every run-adjacent position
 };
 // Defaults picked by tools/sweep_opt_budget.py (2026-08-18, post
 // head-entry-swap walk): the fastest config per level whose size deltas
@@ -1038,12 +1067,17 @@ struct OptParams {
 // +20-27 KB margins for 1.7x speed.
 inline OptParams g_opt_params[13] = {
     // levels 0-8 route to greedy/HC, entries unused but keep indexing flat
-    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
-    {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0},
-    {96, 128, 256, 96},          // 9
-    {96, 128, 256, 96},          // 10
-    {2048, 512, 256, 2048},      // 11
-    {16384, 4095, 1024, 16384},  // 12
+    {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0},
+    {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0},
+    {0, 0, 0, 0, 0},
+    // pa_budget: capped at 9-10 (margins absorb the approximation, and
+    // run-dense text otherwise enumerates every window segment per
+    // find); UNCAPPED at 11-12 where silesia-class margins are 0-629
+    // bytes (a 192/1024 cap measured -538/-612 there)
+    {96, 128, 256, 96, 32},            // 9
+    {96, 128, 256, 96, 32},            // 10
+    {2048, 512, 256, 2048, 1 << 30},   // 11
+    {16384, 4095, 1024, 16384, 1 << 30},  // 12
 };
 
 // test-only introspection sink for the optimal parse (lz4r_opt_debug)
@@ -1213,7 +1247,7 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
             bool seeded = carry_len >= MINMATCH;
             int l = cf.find(ip, matchlimit, seeded ? cur_sat : attempts,
                             &match, sufficient, seeded ? carry_len : 0,
-                            carry_off);
+                            carry_off, prm.pa_budget);
             if (seeded && carry_len < sufficient)
                 cur_sat = l > carry_len ? attempts
                                         : std::max(seed_att, cur_sat >> 1);
@@ -1601,13 +1635,15 @@ LZ4R_API int lz4r_compress_bound(int src_size) {
 // (tools/sweep_opt_budget.py). Values <= 0 leave the field unchanged.
 // NOT part of the stable API; production paths never call this.
 LZ4R_API void lz4r_set_opt_params(int level, int attempts, int sufficient,
-                                  int skip_len, int seed_attempts) {
+                                  int skip_len, int seed_attempts,
+                                  int pa_budget) {
     if (level < 9 || level > 12) return;
     OptParams& p = g_opt_params[level];
     if (attempts > 0) p.attempts = attempts;
     if (sufficient > 0) p.sufficient = sufficient;
     if (skip_len > 0) p.skip_len = skip_len;
     if (seed_attempts > 0) p.seed_attempts = seed_attempts;
+    if (pa_budget > 0) p.pa_budget = pa_budget;
 }
 
 // dict (may be null) must be the window content; it is copied so that it sits

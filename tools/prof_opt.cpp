@@ -47,6 +47,26 @@ static std::vector<uint8_t> gen_runs(size_t n, unsigned seed) {
     return out;
 }
 
+static std::vector<uint8_t> gen_textzero(size_t n, unsigned seed) {
+    // silesia-like weak cell: word-soup text with interleaved zero runs
+    // (~25% zeros) — the slice class measured at 0.4-1.3 MB/s at L11/12
+    std::mt19937 rng(seed);
+    static const char* words[] = {"the", "quick", "brown", "fox", "jumps",
+                                  "over", "lazy", "dog", "compression",
+                                  "hash", "match", "token", "stream"};
+    std::vector<uint8_t> out;
+    while (out.size() < n) {
+        for (int w = 0, e = 8 + rng() % 40; w < e; ++w) {
+            const char* s = words[rng() % 13];
+            out.insert(out.end(), s, s + strlen(s));
+            out.push_back(' ');
+        }
+        out.insert(out.end(), 16 + rng() % 512, 0);
+    }
+    out.resize(n);
+    return out;
+}
+
 static std::vector<uint8_t> gen_text(size_t n, unsigned seed) {
     // zipf-ish word soup approximating natural-text match statistics
     std::mt19937 rng(seed);
@@ -79,12 +99,14 @@ int main(int argc, char** argv) {
     if (argc > 7)
         lz4r_set_opt_params(level, atoi(argv[5]), atoi(argv[6]),
                             atoi(argv[7]),
-                            argc > 8 ? atoi(argv[8]) : atoi(argv[5]));
+                            argc > 8 ? atoi(argv[8]) : atoi(argv[5]),
+                            argc > 9 ? atoi(argv[9]) : 0);
     size_t n = mb << 20;
     std::vector<uint8_t> data =
         strcmp(which, "boiler") == 0 ? gen_boiler(n, 7)
         : strcmp(which, "runs") == 0 ? gen_runs(n, 7)
-                                     : gen_text(n, 7);
+        : strcmp(which, "textzero") == 0 ? gen_textzero(n, 7)
+                                         : gen_text(n, 7);
     std::vector<uint8_t> dst(n + n / 128 + 64);
     int out = 0;
     // warm-up (page faults, scratch growth)

@@ -23,12 +23,13 @@ from tools.bench_host_levels import boiler, runs  # noqa: E402
 
 
 def set_params(level: int, attempts: int, sufficient: int,
-               skip_len: int, seed_attempts: int = 0) -> None:
+               skip_len: int, seed_attempts: int = 0,
+               pa_budget: int = 0) -> None:
     lib = native._load()
-    lib.lz4r_set_opt_params.argtypes = [ctypes.c_int] * 5
+    lib.lz4r_set_opt_params.argtypes = [ctypes.c_int] * 6
     lib.lz4r_set_opt_params.restype = None
     lib.lz4r_set_opt_params(level, attempts, sufficient, skip_len,
-                            seed_attempts or attempts)
+                            seed_attempts or attempts, pa_budget)
 
 
 def compress(data: bytes, level: int) -> bytes:
@@ -113,7 +114,8 @@ def main() -> None:
     for cfg in configs:
         att, suf, skip = cfg[:3]
         sat = cfg[3] if len(cfg) > 3 else att
-        set_params(lv, att, suf, skip, sat)
+        pab = cfg[4] if len(cfg) > 4 else 0
+        set_params(lv, att, suf, skip, sat, pab)
         deltas = []
         for n, d in small:
             deltas.append(up_small[n] - len(compress(d, lv)))
