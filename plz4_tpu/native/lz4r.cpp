@@ -1075,7 +1075,7 @@ inline OptParams g_opt_params[13] = {
     // find); UNCAPPED at 11-12 where silesia-class margins are 0-629
     // bytes (a 192/1024 cap measured -538/-612 there)
     {96, 128, 256, 96, 32},            // 9
-    {96, 128, 256, 96, 32},            // 10
+    {96, 128, 256, 96, 192},           // 10
     {2048, 512, 256, 2048, 1 << 30},   // 11
     {16384, 4095, 1024, 16384, 1 << 30},  // 12
 };
@@ -1112,18 +1112,24 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     const int seed_att = g_opt_params[level > 12 ? 12 : level].seed_attempts;
     // Good-enough valve per level, mirroring upstream's targetLength
     // ladder (lz4hc.c:103-105). KNOWN APPROXIMATION: the valve, the
-    // carried-seed shortcut, and the carry-skip inheritance below can
-    // each leave mlen[] a few bytes below the true longest match at a
-    // position. Measured effect: ~1% of ADVERSARIAL randomized mixed
-    // payloads lose 1-10 bytes to upstream at SOME level (any level —
-    // two different search heuristics cannot dominate each other
-    // pointwise on all inputs); every realistic conformance corpus holds
-    // at <= upstream, usually with margins of hundreds to thousands of
-    // bytes. Remedies prototyped and rejected: an exact two-phase scan
-    // (first nbSearches candidates unconditional) still loses through
-    // the seed shortcut and costs 2-10x on repeat-heavy data; a
-    // 16-candidate linger after the valve changes nothing measurable;
-    // denser carry re-search costs 11% ratio elsewhere.
+    // carried-seed shortcut, the carry-skip inheritance below, and the
+    // pa segment budget can each leave mlen[] below the true longest
+    // match at a position. Measured effect: (a) ~1% of ADVERSARIAL
+    // randomized mixed payloads lose 1-10 bytes to upstream at SOME
+    // level; (b) the worst CONSTRUCTED class found — word-soup text
+    // interleaved with many short zero runs — loses up to ~0.8% at
+    // L10-11 (the RLE carry-skip inherits only the in-run self-match,
+    // missing pattern-fit matches that cross the run/text boundary from
+    // mid-run positions; knob sweeps on attempts/sufficient/skip/pa
+    // recover <135 bytes of it). Every realistic conformance corpus
+    // holds at <= upstream, usually with margins of hundreds to
+    // thousands of bytes; both residuals are pinned by the
+    // PLZ4_FUZZ_FULL sweep. Remedies prototyped and rejected: an exact
+    // two-phase scan (first nbSearches candidates unconditional) still
+    // loses through the seed shortcut and costs 2-10x on repeat-heavy
+    // data; a 16-candidate linger after the valve changes nothing;
+    // denser carry re-search costs 11% ratio elsewhere; mid-run
+    // pattern-fit re-probes belong to round 4 if the class matters.
     const OptParams& prm = g_opt_params[level > 12 ? 12 : level];
     const int sufficient = prm.sufficient;
     // pure-inheritance skip threshold for pass 1 (see below): inside a
