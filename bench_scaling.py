@@ -38,15 +38,12 @@ def _log(*a):
 def main() -> None:
     import jax
 
-    # honor JAX_PLATFORMS=cpu for the virtual-mesh smoke run: the env var
-    # alone does NOT displace the environment's preset axon platform
-    # (CLAUDE.md hazard) — the config update does
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-        jax.config.update("jax_platforms", "cpu")
+    import plz4_tpu
+
+    plz4_tpu.force_cpu_if_requested()
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    import plz4_tpu
     from plz4_tpu.ops import encode_jax
     from plz4_tpu.parallel import batch as batch_mod, mesh as mesh_mod
 

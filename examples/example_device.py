@@ -21,11 +21,9 @@ from plz4_tpu.parallel import dist, mesh as mesh_mod, use_mesh
 def main():
     import jax
 
-    # honor JAX_PLATFORMS=cpu even when the environment presets another
-    # platform (the env var alone does not displace a preset; the config
-    # update does)
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
-        jax.config.update("jax_platforms", "cpu")
+    import plz4_tpu
+
+    plz4_tpu.force_cpu_if_requested()
 
     plz4_tpu_devices = jax.devices()
     print(f"devices: {len(plz4_tpu_devices)} x {plz4_tpu_devices[0].platform}")

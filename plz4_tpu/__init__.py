@@ -53,6 +53,19 @@ from .opts import Options  # noqa: F401
 __version__ = "0.1.0"
 
 
+def force_cpu_if_requested() -> None:
+    """Apply JAX_PLATFORMS=cpu as a config update. The env var alone does
+    NOT displace an environment-preset platform (e.g. a TPU tunnel); the
+    config update does. Call before the first jax use in any entry point
+    that honors the variable (tests' conftest, bench_scaling, examples)."""
+    import os as _os
+
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+
 def enable_compile_cache(path: str = "/tmp/plz4_tpu_jax_cache") -> None:
     """Enable JAX's persistent compilation cache for the codec kernels.
 

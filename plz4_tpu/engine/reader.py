@@ -401,4 +401,6 @@ class FrameReader:
         self._pending.clear()
         self._ready.clear()
         self._device_queue.clear()
+        for pending in self._device_pending:
+            pending.discard()  # return staging buffers without fetching
         self._device_pending.clear()

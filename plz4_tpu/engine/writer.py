@@ -487,4 +487,6 @@ class FrameWriter:
         self._pending.clear()
         self._group = []
         self._device_stage = []
+        for pending, _ in self._device_pending:
+            pending.discard()  # return staging buffers without fetching
         self._device_pending.clear()

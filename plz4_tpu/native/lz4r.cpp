@@ -683,7 +683,6 @@ struct ChainFinder {
                                   ? s + (uint32_t)(seg - src_run)
                                   : s;
                 const uint32_t probes[2] = {q1, s};
-                bool improved = false;
                 for (uint32_t qp : probes) {
                     if (qp >= pos) continue;
                     const uint8_t* qptr = wbase + qp;
@@ -710,7 +709,6 @@ struct ChainFinder {
                         best = len;
                         *mpos = qptr;
                         need_swap = true;
-                        improved = true;
                         if (ip + best >= matchlimit)
                             break;  // unbeatable; the walk break follows
                         // refresh before the next probe uses them
@@ -721,7 +719,6 @@ struct ChainFinder {
                 if (best >= MINMATCH &&
                     (ip + best >= matchlimit || best >= sufficient))
                     break;
-                (void)improved;
                 // skip the whole dense segment (beaters below s only);
                 // a swap inside the span would just re-walk the run.
                 // (A swap handoff once best extends past the source run
@@ -1191,6 +1188,13 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
             cf.head4.assign((size_t)1 << 15, 0);
             cf.chain4.assign(1 << 16, 0);
         }
+        // attach()'s own overflow reset fires at 0xF0000000 with one
+        // block of headroom assumed; a giant raw-API input could wrap
+        // next_insert MID-CALL — reset eagerly when this call could
+        // exhaust the u32 position space
+        if ((uint64_t)cf.next_insert + (uint64_t)(iend - wbase) + 65536 >
+            0xFFFFFF00ull)
+            cf.reset();
         cf.attach(wbase);
         if (src > wbase) cf.insert_upto(src);
         // long-match inheritance: inside a long match, position i+1 has at

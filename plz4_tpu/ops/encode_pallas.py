@@ -726,7 +726,8 @@ _BW_MAX_ELEMS = 230 * 1024
 
 def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False,
              hashes: bool = False) -> bool:
-    tables = 2 * (1 << (MID_HASH_LOG if mid else HASH_LOG))
+    n_tables = 4 if (mid and os.environ.get("PLZ4_MID_DEPTH4")) else 2
+    tables = n_tables * (1 << (MID_HASH_LOG if mid else HASH_LOG))
     per_in = 1 + (1 if vals else 0) + (1 if hashes else 0)
     return n_in * per_in + cap + tables <= _BW_MAX_ELEMS
 

@@ -151,17 +151,24 @@ class Pending:
             try:
                 self._result = self._assemble()
             finally:
-                from .. import native as _native
-
-                for b in self._staging:
-                    _native.buffer_pool.give(b)
-                self._staging = ()
-                self._done = True
-                self._assemble = None
+                self._release()
         return self._result
 
+    def discard(self):
+        """Abort path: return staging buffers without assembling (no
+        device fetch). Used by engine shutdown so in-flight batches do
+        not orphan pool buffers."""
+        if not self._done:
+            self._release()
 
-_DONE_EMPTY = Pending(list, ())
+    def _release(self):
+        from .. import native as _native
+
+        for b in self._staging:
+            _native.buffer_pool.give(b)
+        self._staging = ()
+        self._done = True
+        self._assemble = None
 
 
 def encode_blocks(blocks: list[bytes], block_size: int, level: int = 1,
@@ -188,16 +195,18 @@ def encode_blocks_begin(blocks: list[bytes], block_size: int, level: int = 1,
     hashing — ops/xxh32_jax batches over the block axis).
     """
     if not blocks:
-        return _DONE_EMPTY
+        return Pending(list, ())
     mesh = mesh_mod.active_mesh()
     B = mesh_mod.pad_batch_for_mesh(_pow2(len(blocks)), mesh)
     N = block_size
+    # validate BEFORE taking pool buffers: a raise here must not leak them
+    for blk in blocks:
+        if len(blk) > N:
+            raise zerr.ErrSrcSize
     arr, arr_raw = _stage((B, N))
     lens, lens_raw = _stage((B,), np.int32)
     staging = [arr_raw, lens_raw]
     for i, blk in enumerate(blocks):
-        if len(blk) > N:
-            raise zerr.ErrSrcSize
         arr[i, : len(blk)] = np.frombuffer(blk, dtype=np.uint8)
         lens[i] = len(blk)
 
@@ -300,22 +309,31 @@ def decode_blocks_begin(stored: list[tuple[bytes, bool]], block_size: int,
     routes them around the workers). `checksums`, when given, carries the
     frame\'s expected per-block xxh32 values: compressed blocks verify on
     device in one batched hash (ops/xxh32_jax), raw pass-through blocks on
-    the host (immediately, at dispatch).
+    the host at result() time — consume order, so a corrupt block in a
+    read-ahead batch cannot fail ahead of earlier batches' valid data.
     """
     if not stored:
-        return _DONE_EMPTY
+        return Pending(list, ())
     comp_idx = [i for i, (_, unc) in enumerate(stored) if not unc]
     results: list[bytes | None] = [
         data if unc else None for (data, unc) in stored]
-    if checksums is not None:
+
+    def verify_raw():
+        if checksums is None:
+            return
         from .. import native as _native
 
         for i, (data, unc) in enumerate(stored):
             if unc and checksums[i] is not None:
                 if _native.xxh32(data) != checksums[i]:
                     raise zerr.ErrBlockHash
+
     if not comp_idx:
-        return Pending(lambda: results, ())
+        return Pending(lambda: (verify_raw(), results)[1], ())
+    # validate BEFORE taking pool buffers: a raise here must not leak them
+    for i in comp_idx:
+        if len(stored[i][0]) > block_size:
+            raise zerr.ErrBlockSizeOverflow
 
     mesh = mesh_mod.active_mesh()
     B = mesh_mod.pad_batch_for_mesh(_pow2(len(comp_idx)), mesh)
@@ -327,8 +345,6 @@ def decode_blocks_begin(stored: list[tuple[bytes, bool]], block_size: int,
     arr[:, 0] = EMPTY_BLOCK[0]
     for j, i in enumerate(comp_idx):
         data = stored[i][0]
-        if len(data) > block_size:
-            raise zerr.ErrBlockSizeOverflow
         arr[j, : len(data)] = np.frombuffer(data, dtype=np.uint8)
         clens[j] = len(data)
 
@@ -365,6 +381,7 @@ def decode_blocks_begin(stored: list[tuple[bytes, bool]], block_size: int,
         dev_hash = xxh32_jax.xxh32_batch(a, l)
 
     def assemble():
+        verify_raw()
         if dev_hash is not None:
             got = _fetch(dev_hash)
             for j, i in enumerate(comp_idx):
