@@ -405,6 +405,35 @@ struct ChainFinder {
     Seg segcache[4];
     int seg_rr = 0;
 
+    // Mid-run pattern-fit cache: when a pa probe at a run-entry position
+    // finds a fit match (source run aligned to a candidate segment's end,
+    // extending `tail` bytes past it), the SAME candidate gives an exact
+    // match of (re - p) + tail at EVERY later position p inside the
+    // source run, at the CONSTANT offset re - estar (the tail comparison
+    // is position-independent). The RLE carry-skip consults this so
+    // skipped positions keep the run/text-boundary-crossing option the
+    // pure inheritance loses (the main residual of the KNOWN
+    // APPROXIMATION on run-dense text).
+    struct Fit {
+        uint32_t re = 0;     // source run end (absolute position)
+        uint32_t estar = 0;  // candidate segment end (absolute position)
+        int tail = -1;       // verified match bytes past the run end
+        uint8_t b = 0;
+    };
+    Fit fit;
+
+    // Exact pattern-fit option at position p (0 = none). Bounds hold by
+    // construction: re + tail <= matchlimit was established by the probe
+    // that cached it, and the constant offset only moves the source
+    // FORWARD relative to the original in-window probe.
+    int fit_at(uint32_t p, int* off_out) const {
+        if (fit.tail < 0 || p >= fit.re || fit.estar >= fit.re) return 0;
+        uint32_t off = fit.re - fit.estar;
+        if (off > MAX_DISTANCE) return 0;
+        *off_out = (int)off;
+        return (int)(fit.re - p) + fit.tail;
+    }
+
     ChainFinder()
         : wbase(nullptr),
           low_base(nullptr),
@@ -443,6 +472,7 @@ struct ChainFinder {
         floor_pos = 0;
         wbase = low_base = nullptr;
         for (Seg& sg : segcache) sg = Seg{};
+        fit = Fit{};
     }
 
     // Begin a fresh buffer: prior positions become unreachable without any
@@ -454,6 +484,7 @@ struct ChainFinder {
         low_base = buf_start;
         wbase = buf_start - next_insert;
         for (Seg& sg : segcache) sg = Seg{};  // positions re-alias content
+        fit = Fit{};
     }
 
     void insert_upto(const uint8_t* p) {
@@ -679,9 +710,8 @@ struct ChainFinder {
                 uint32_t s = rs;
                 if (s < lowest) s = lowest;
                 int seg = (int)(re - s);
-                uint32_t q1 = (seg >= src_run && fwd <= src_run)
-                                  ? s + (uint32_t)(seg - src_run)
-                                  : s;
+                const bool fit_case = seg >= src_run && fwd <= src_run;
+                uint32_t q1 = fit_case ? s + (uint32_t)(seg - src_run) : s;
                 const uint32_t probes[2] = {q1, s};
                 for (uint32_t qp : probes) {
                     if (qp >= pos) continue;
@@ -704,6 +734,17 @@ struct ChainFinder {
                         len = best - 3 + c1;
                     } else {
                         len = count_match(ip, qptr, matchlimit);
+                    }
+                    if (qp == q1 && fit_case && len >= src_run) {
+                        // cache the fit for mid-run reuse (see Fit): the
+                        // tail comparison is position-independent, so
+                        // every later position inside the source run
+                        // gets an exact (re_src - p) + tail option
+                        uint32_t re_src = pos + (uint32_t)src_run;
+                        int tl = len - src_run;
+                        if (fit.b != pb || fit.re != re_src
+                            || tl > fit.tail)
+                            fit = Fit{re_src, re, tl, pb};
                     }
                     if (len > best) {
                         best = len;
@@ -1232,9 +1273,11 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                 }
             }
             if ((carry_len > 64 && carry_off <= 8) || carry_len >= skip_len) {
-                // RLE-ish region (period <= 8): nothing longer can start
-                // mid-run, and a full search would count the whole run per
-                // candidate — keep the pure inheritance skip.
+                // RLE-ish region (period <= 8): a full search would count
+                // the whole run per candidate — keep the pure inheritance
+                // skip, upgraded by the O(1) pattern-fit cache (the match
+                // that crosses the run/text boundary, which inheritance
+                // alone loses — the run-dense residual).
                 // carry >= skip_len at ANY period: deep inside a long
                 // match a fresh search can only improve the last few
                 // positions before the region ends (re-search resumes once
@@ -1245,6 +1288,14 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                 cf.insert_upto(ip + 1);
                 mlen[i] = carry_len;
                 moff[i] = carry_off;
+                if (carry_off <= 8) {
+                    int off2;
+                    int l2 = cf.fit_at((uint32_t)(ip - cf.wbase), &off2);
+                    if (l2 > carry_len) {
+                        mlen[i] = l2;
+                        moff[i] = off2;
+                    }
+                }
                 --carry_len;
                 continue;
             }
