@@ -178,3 +178,34 @@ def test_device_level_mapping():
     n12_frame = plz4.compress(PAYLOAD, backend="native", level=12,
                               content_checksum=False)
     assert len(c12) > len(n12_frame) * 1.1, (len(c12), len(n12_frame))
+
+
+def test_pool_balance_on_error_and_abort():
+    """Round-3 review regressions: staged pool buffers must return on
+    (a) validation errors raised before dispatch, (b) engine shutdown
+    with batches still in flight (Pending.discard), (c) normal use."""
+    import io
+
+    from plz4_tpu import native
+    from plz4_tpu.parallel import batch as dev_batch
+
+    base = native.buffer_pool.borrowed
+
+    # (a) oversized block raises BEFORE staging buffers are taken
+    with pytest.raises(zerr.Lz4Error):
+        dev_batch.encode_blocks([b"x" * 70000], 65536)
+    with pytest.raises(zerr.Lz4Error):
+        dev_batch.decode_blocks([(b"x" * 70000, False)], 65536)
+    assert native.buffer_pool.borrowed == base
+
+    # (b) reader closed with read-ahead batches dispatched but unconsumed
+    data = PAYLOAD[:300_000]
+    comp = plz4.compress(data, backend="device", level=1, block_size_idx=4)
+    r = plz4.Reader(io.BytesIO(comp), backend="device")
+    r.read(1)  # forces dispatch of read-ahead batches
+    r.close()
+    assert native.buffer_pool.borrowed == base
+
+    # (c) full roundtrip leaves the pool balanced
+    assert plz4.decompress(comp, backend="device") == data
+    assert native.buffer_pool.borrowed == base
