@@ -386,6 +386,14 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(int(os.environ.get("PLZ4_BENCH_TIMEOUT", "420")))
     try:
+        # SIGALRM only fires between bytecodes: a tunnel that hangs INSIDE
+        # jax's C-level backend init would defer the alarm forever. Probe
+        # liveness in a subprocess with a hard timeout first.
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=150, capture_output=True)
         enc_gbps, dec_gbps, ratio = bench_device(blocks)
         signal.alarm(0)
         device_rt = 2 / (1 / enc_gbps + 1 / dec_gbps)
