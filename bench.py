@@ -383,17 +383,25 @@ def main() -> None:
     def _on_alarm(sig, frame):
         raise TimeoutError("device bench watchdog expired")
 
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("PLZ4_BENCH_TIMEOUT", "420")))
-    try:
-        # SIGALRM only fires between bytecodes: a tunnel that hangs INSIDE
-        # jax's C-level backend init would defer the alarm forever. Probe
-        # liveness in a subprocess with a hard timeout first.
-        import subprocess
+    # SIGALRM only fires between bytecodes: a tunnel that hangs INSIDE
+    # jax's C-level backend init would defer the alarm forever. Probe
+    # liveness in a subprocess with a hard timeout FIRST (before arming
+    # the watchdog, so a slow-but-alive tunnel doesn't eat the bench's
+    # time budget), keeping the child's stderr for triage.
+    import subprocess
 
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            check=True, timeout=150, capture_output=True)
+    signal.signal(signal.SIGALRM, _on_alarm)
+    try:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, timeout=150, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            tail = (e.stderr or b"")[-400:].decode(errors="replace")
+            raise RuntimeError(f"tunnel probe failed: {tail}") from e
+        except subprocess.TimeoutExpired as e:
+            raise RuntimeError("tunnel probe timed out (150 s)") from e
+        signal.alarm(int(os.environ.get("PLZ4_BENCH_TIMEOUT", "420")))
         enc_gbps, dec_gbps, ratio = bench_device(blocks)
         signal.alarm(0)
         device_rt = 2 / (1 / enc_gbps + 1 / dec_gbps)

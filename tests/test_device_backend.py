@@ -184,8 +184,6 @@ def test_pool_balance_on_error_and_abort():
     """Round-3 review regressions: staged pool buffers must return on
     (a) validation errors raised before dispatch, (b) engine shutdown
     with batches still in flight (Pending.discard), (c) normal use."""
-    import io
-
     from plz4_tpu import native
     from plz4_tpu.parallel import batch as dev_batch
 
@@ -198,11 +196,14 @@ def test_pool_balance_on_error_and_abort():
         dev_batch.decode_blocks([(b"x" * 70000, False)], 65536)
     assert native.buffer_pool.borrowed == base
 
-    # (b) reader closed with read-ahead batches dispatched but unconsumed
+    # (b) reader closed with read-ahead batches dispatched but unconsumed:
+    # pending_size=2 forces 2-block batches so read(1) leaves a LIVE
+    # read-ahead batch that close() must discard (not fetch)
     data = PAYLOAD[:300_000]
     comp = plz4.compress(data, backend="device", level=1, block_size_idx=4)
-    r = plz4.Reader(io.BytesIO(comp), backend="device")
-    r.read(1)  # forces dispatch of read-ahead batches
+    r = plz4.Reader(io.BytesIO(comp), backend="device", pending_size=2)
+    r.read(1)  # dispatches current + read-ahead batches
+    assert r._device_pending, "scenario must leave a batch in flight"
     r.close()
     assert native.buffer_pool.borrowed == base
 
