@@ -1475,8 +1475,11 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
     // int32 costs for every realistic block; exact int64 fallback for
-    // giant raw-API inputs (>= 2^28, where int32 keys could overflow)
-    if (src_size < (1 << 28))
+    // giant raw-API inputs (>= 2^28, where int32 keys could overflow).
+    // PLZ4_FORCE_COST64 exercises the int64 instantiation in tests
+    // without a 256 MB payload (checked once per process).
+    static const bool force64 = std::getenv("PLZ4_FORCE_COST64") != nullptr;
+    if (src_size < (1 << 28) && !force64)
         return compress_opt_t<int32_t>(wbase, src, src_size, dst, dst_cap,
                                        level);
     return compress_opt_t<int64_t>(wbase, src, src_size, dst, dst_cap,

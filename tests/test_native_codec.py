@@ -270,3 +270,39 @@ def test_sync_linked_writer_uses_stream_path():
     w.close()
     assert plz4.decompress(out.getvalue(), parallel=-1) == data
     assert plz4.decompress(out.getvalue(), parallel=0) == data
+
+
+def test_cost64_instantiation_parity():
+    """The int64 CostT instantiation (giant raw-API inputs) must produce
+    byte-identical output to the int32 path on the same data. Forced via
+    PLZ4_FORCE_COST64 in a subprocess (the flag is read once per
+    process)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+sys.path.insert(0, %r)
+from conftest import make_compressible
+from plz4_tpu import native
+data = make_compressible(150000, seed=77) + b"\x00" * 5000 + \
+    make_compressible(30000, seed=78)
+for lv in (9, 11, 12):
+    comp = native.compress(data, level=lv)
+    assert native.decompress(comp, len(data)) == data, lv
+    sys.stdout.write("%%d:%%d\n" %% (lv, len(comp)))
+"""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = code % (repo, os.path.join(repo, "tests"))
+
+    def run(env_extra):
+        env = dict(os.environ, **env_extra)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-800:]
+        return r.stdout
+
+    assert run({}) == run({"PLZ4_FORCE_COST64": "1"})
