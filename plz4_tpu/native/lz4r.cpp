@@ -90,6 +90,11 @@ inline uint32_t hash5(const uint8_t* p, int hashlog) {
     return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
 }
 
+inline uint32_t hash6(const uint8_t* p, int hashlog) {
+    uint64_t v = read64(p) << 16;  // low 48 bits selected
+    return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
+}
+
 // Forward run length of byte `b` starting at p, up to limit.
 inline int count_run_fwd(const uint8_t* p, const uint8_t* limit, uint8_t b) {
     const uint8_t* const s = p;
@@ -382,15 +387,21 @@ struct ChainFinder {
     // (levels 2-8) scores back+forward and must stay on 4-gram chains
     // (a candidate with 4 forward bytes + back extension need not share
     // the 5th byte).
-    bool g5 = false;
-    std::vector<uint32_t> head4;  // last 4-gram BUCKET entry+1 (g5 only)
-    // 4-gram bucket delta ring (g5 only): head4 alone loses the nearest
+    // Gram length of the primary chain (4 = classic HC mode; the opt
+    // finder uses 6). For every length below the primary gram, an exact
+    // recovery ladder of head+delta-ring structures finds the NEAREST
+    // verified occurrence (as good as any at equal length; anything
+    // longer is the primary walk's job).
+    int gram = 4;
+    std::vector<uint32_t> head4;  // last 4-gram BUCKET entry+1
+    // 4-gram bucket delta ring: a bare head table loses the nearest
     // occurrence to hash collisions (a later colliding gram shadows it —
     // measured 37 lost length-4 matches per 64 KiB on templated rows);
     // the ring lets the length-4 recovery walk to the first VERIFIED
-    // occurrence, which is exact (nearest == as good as any at equal
-    // length). Touched only on insert + the rare recovery walk.
+    // occurrence. Touched only on insert + the rare recovery walk.
     std::vector<uint16_t> chain4;
+    std::vector<uint32_t> head5;  // gram == 6 only: the length-5 ladder
+    std::vector<uint16_t> chain5;
 
     // Single-byte-run segment cache for pattern analysis: consecutive
     // find() calls walk the same dense segments; measuring a multi-KB run
@@ -443,24 +454,34 @@ struct ChainFinder {
           next_insert(0),
           floor_pos(0) {}
 
-    ChainFinder(const uint8_t* wb, size_t total, bool use_g5 = false)
+    ChainFinder(const uint8_t* wb, size_t total, int use_gram = 4)
         : ChainFinder() {
         (void)total;
         wbase = wb;
         low_base = wb;
-        g5 = use_g5;
-        if (g5) {
+        set_gram(use_gram);
+    }
+
+    void set_gram(int g) {
+        gram = g;
+        if (gram >= 5 && head4.empty()) {
             head4.assign((size_t)1 << 15, 0);
             chain4.assign(1 << 16, 0);
         }
+        if (gram >= 6 && head5.empty()) {
+            head5.assign((size_t)1 << 15, 0);
+            chain5.assign(1 << 16, 0);
+        }
     }
 
-    // gram hash at position p. g5 reads 8 bytes: callers guarantee 8
-    // bytes of tail slack past every inserted/probed position (inserts
+    // gram hash at position p. gram >= 5 reads 8 bytes: callers guarantee
+    // 8 bytes of tail slack past every inserted/probed position (inserts
     // stop at mflimit-class bounds, blocks below MFLIMIT+1 never build a
     // finder).
     uint32_t hashp(const uint8_t* p) const {
-        return g5 ? hash5(p, hashlog) : hash4(read32(p), hashlog);
+        if (gram == 6) return hash6(p, hashlog);
+        if (gram == 5) return hash5(p, hashlog);
+        return hash4(read32(p), hashlog);
     }
 
     void reset() {
@@ -468,6 +489,8 @@ struct ChainFinder {
         std::fill(chain.begin(), chain.end(), 0);
         std::fill(head4.begin(), head4.end(), 0);
         std::fill(chain4.begin(), chain4.end(), 0);
+        std::fill(head5.begin(), head5.end(), 0);
+        std::fill(chain5.begin(), chain5.end(), 0);
         next_insert = 0;
         floor_pos = 0;
         wbase = low_base = nullptr;
@@ -499,11 +522,17 @@ struct ChainFinder {
             uint32_t d = head[h] ? i + 1 - head[h] : 0;
             chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
-            if (g5) {
+            if (gram >= 5) {
                 uint32_t h4 = hash4(read32(wbase + i), hashlog);
                 uint32_t d4 = head4[h4] ? i + 1 - head4[h4] : 0;
                 chain4[i & 0xFFFF] = d4 > 65535 ? 0 : (uint16_t)d4;
                 head4[h4] = i + 1;
+                if (gram >= 6) {
+                    uint32_t h5 = hash5(wbase + i, hashlog);
+                    uint32_t d5 = head5[h5] ? i + 1 - head5[h5] : 0;
+                    chain5[i & 0xFFFF] = d5 > 65535 ? 0 : (uint16_t)d5;
+                    head5[h5] = i + 1;
+                }
             }
         }
         for (; i < target; ++i) {
@@ -511,11 +540,17 @@ struct ChainFinder {
             uint32_t d = head[h] ? i + 1 - head[h] : 0;
             chain[i & 0xFFFF] = d > 65535 ? 0 : (uint16_t)d;
             head[h] = i + 1;
-            if (g5) {
+            if (gram >= 5) {
                 uint32_t h4 = hash4(read32(wbase + i), hashlog);
                 uint32_t d4 = head4[h4] ? i + 1 - head4[h4] : 0;
                 chain4[i & 0xFFFF] = d4 > 65535 ? 0 : (uint16_t)d4;
                 head4[h4] = i + 1;
+                if (gram >= 6) {
+                    uint32_t h5 = hash5(wbase + i, hashlog);
+                    uint32_t d5 = head5[h5] ? i + 1 - head5[h5] : 0;
+                    chain5[i & 0xFFFF] = d5 > 65535 ? 0 : (uint16_t)d5;
+                    head5[h5] = i + 1;
+                }
             }
         }
         next_insert = target;
@@ -588,10 +623,10 @@ struct ChainFinder {
         // .pa_budget; part of the KNOWN APPROXIMATION budget, validated
         // by the conformance corpora + 500-seed adversarial sweep)
         int pa_budget = pa_cap;
-        if (g5 && best < MINMATCH) {
-            // length-4 coverage in 5-gram mode: the NEAREST 4-gram
-            // occurrence is as good as any (offsets cost 2 bytes at any
-            // distance), and longer matches are the 5-gram walk's job
+        if (gram >= 5 && best < MINMATCH) {
+            // length-4 entry probe: the NEAREST 4-gram occurrence is as
+            // good as any (offsets cost 2 bytes at any distance), and
+            // longer matches are the primary walk's / ladder's job
             uint32_t c4 = head4[hash4(first4, hashlog)];
             if (c4 != 0 && c4 - 1 >= lowest) {
                 const uint8_t* mp4 = wbase + (c4 - 1);
@@ -782,7 +817,7 @@ struct ChainFinder {
                 if (best > MINMATCH && bpos + (uint32_t)best <= pos) {
                     // span gram offsets [0, end]: a gram at offset k lies
                     // inside the match span iff k + gramlen <= best
-                    int end = best - (g5 ? MINMATCH + 1 : MINMATCH);
+                    int end = best - (gram > MINMATCH ? gram : MINMATCH);
                     uint32_t bestd = 0, bmcp = 0;
                     bool dead = false;
                     int accel = 1 << 4;  // accelerating scan on long spans
@@ -868,12 +903,30 @@ struct ChainFinder {
                 cand = member - mcp + 1;
             }
         }
-        if (g5 && best < MINMATCH) {
-            // length-4 recovery: the entry probe only checks the last
-            // 4-gram BUCKET entry, which hash collisions can shadow —
-            // walk the 4-gram ring to the first VERIFIED occurrence
-            // (nearest is as good as any at equal length; anything
-            // longer would have been found by the 5-gram walk)
+        // Recovery ladder: for each length below the primary gram, walk
+        // that length's ring to the first VERIFIED occurrence (nearest is
+        // as good as any at equal length; anything longer would have been
+        // found by the primary walk). Runs only when the walk came up
+        // short, bounded by the remaining budget (floor 16).
+        if (gram >= 6 && best < 5) {
+            uint32_t c5 = head5[hash5(ip, hashlog)];
+            int rb = nb_attempts > 16 ? nb_attempts : 16;
+            while (c5 != 0 && c5 - 1 >= lowest && rb-- > 0) {
+                const uint8_t* mp5 = wbase + (c5 - 1);
+                if (read32(mp5) == first4 && mp5[4] == ip[4]) {
+                    int len = count_match(ip, mp5, matchlimit);
+                    if (len > best) {
+                        best = len;
+                        *mpos = mp5;
+                    }
+                    break;
+                }
+                uint32_t d5 = chain5[(c5 - 1) & 0xFFFF];
+                if (d5 == 0) break;
+                c5 -= d5;
+            }
+        }
+        if (gram >= 5 && best < MINMATCH) {
             uint32_t c4 = head4[hash4(first4, hashlog)];
             int rb = nb_attempts > 16 ? nb_attempts : 16;
             while (c4 != 0 && c4 - 1 >= lowest && rb-- > 0) {
@@ -1216,18 +1269,24 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     auto t_p1 = std::chrono::steady_clock::now();
 #endif
     {
-        // 5-gram chains + 4-gram head: same match lengths by construction
-        // (see ChainFinder::g5), text-class buckets split 10-26x finer.
+        // Long-gram chains + exact recovery ladder: same match lengths
+        // by construction (see ChainFinder::gram), text-class buckets
+        // split finer at every gram step (measured steps/find on text:
+        // 55 at gram 4, 29 at gram 5 — tools/prof_opt).
         // Thread-local + attach(): constructing fresh tables per call
         // paid ~640 KiB of zeroing + first-touch faults per block; the
         // floor_pos epoch makes stale entries self-rejecting (the same
         // scheme compress_hc uses).
         static thread_local ChainFinder tl_cf_opt;
         ChainFinder& cf = tl_cf_opt;
-        if (!cf.g5) {
-            cf.g5 = true;
-            cf.head4.assign((size_t)1 << 15, 0);
-            cf.chain4.assign(1 << 16, 0);
+        static const int OPT_GRAM = [] {
+            const char* e = std::getenv("PLZ4_OPT_GRAM");
+            int g = e ? std::atoi(e) : 6;
+            return g < 4 ? 4 : g > 6 ? 6 : g;
+        }();
+        if (cf.gram != OPT_GRAM) {
+            cf.set_gram(OPT_GRAM);
+            cf.reset();
         }
         // attach()'s own overflow reset fires at 0xF0000000 with one
         // block of headroom assumed; a giant raw-API input could wrap
