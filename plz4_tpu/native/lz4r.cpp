@@ -48,6 +48,9 @@ struct CfStats {
     uint64_t swaps = 0;       // chain-swap re-picks taken
     uint64_t gl_iters = 0;    // DP: match-cost g-loop iterations
     uint64_t tail_q = 0;      // DP: ResTree query pairs actually run
+    uint64_t span_reads = 0;  // chain-swap span-scan chain[] reads
+    uint64_t ladder = 0;      // 5/4-gram recovery-ladder probes
+    uint64_t seeded = 0;      // find() calls entered with a carried seed
     double pass1_s = 0.0;     // opt parse: match-finder pass seconds
     double pass2_s = 0.0;     // opt parse: DP pass seconds
 };
@@ -445,6 +448,165 @@ struct ChainFinder {
         return (int)(fit.re - p) + fit.tail;
     }
 
+    // ------------------------------------------------------------------
+    // Per-source-run pattern-analysis summary (EXACT). For a probe whose
+    // whole gram is byte-uniform (so every candidate match start lies
+    // inside some in-window b-segment [s, e)), the in-segment maximum at
+    // remaining source-run length r = src_end - pos is exactly
+    //     clamped_len >= r :  r + tail(e)      (fit alignment q = e - r)
+    //     clamped_len <  r :  clamped_len      (q = max(s, lowest))
+    // with clamped_len = e - max(s, lowest) and
+    // tail(e) = count_match(src_run_end, e, matchlimit), which is
+    // POSITION-INDEPENDENT across the run (the source side of the tail
+    // comparison always starts at the run end). Positions inside the
+    // source run itself contribute exactly r (the RLE self-match). So a
+    // SINGLE segment walk answers every position of the run: static
+    // segments (never clamped while this run is live) go into a
+    // len-desc-sorted array with a prefix-max of tails, queried in
+    // O(log); the few segments the sliding window can still clamp
+    // (s < lowest_at_build + r0) stay on a per-query loop. This replaces
+    // the old per-position segment walk — measured 93 segment visits per
+    // find (1.16e9 total) on the silesia-like text+zero-run class at L12
+    // — with one walk per RUN. Reference analog: upstream's
+    // LZ4HC_countPattern/rotatePattern (lz4hc.c:811-859) price periodic
+    // candidates in O(1); this is the exact generalization the
+    // size-<=-upstream contract needs (no approximation anywhere).
+    struct PaSeg {
+        uint32_t len;   // static: e - s (never clamped); boundary: unused
+        uint32_t s, e;  // run positions [s, e)
+        int32_t tail;   // static (post-sort): PREFIX-MAX tail, e = argmax
+    };
+    struct PaSum {
+        bool valid = false;
+        uint8_t b = 0;
+        uint32_t src_start = 0, src_end = 0;  // absolute source run span
+        uint32_t static_floor = 0;  // s >= this => never clamped this run
+        std::vector<PaSeg> st;      // sorted len desc; tail/e prefix-maxed
+        std::vector<PaSeg> bd;      // s < static_floor: clamp per query
+    };
+    PaSum pasum;
+
+    // One-shot segment enumeration for the source run [src_start,
+    // src_end) of byte pb at probe ip. Walks the gram chain exactly like
+    // the per-position walk did (same u16-delta saturation concession),
+    // hopping whole segments via the chain entry at each segment start.
+    void pa_build(const uint8_t* ip, const uint8_t* matchlimit, uint8_t pb,
+                  uint32_t lowest, uint32_t src_start, uint32_t src_end) {
+        pasum.valid = true;
+        pasum.b = pb;
+        pasum.src_start = src_start;
+        pasum.src_end = src_end;
+        uint32_t pos = (uint32_t)(ip - wbase);
+        pasum.static_floor = lowest + (src_end - pos);
+        pasum.st.clear();
+        pasum.bd.clear();
+        const uint8_t* const send = wbase + src_end;
+        const uint32_t pat = 0x01010101u * pb;
+        uint32_t cand = head[hashp(ip)];
+        while (cand != 0 && cand - 1 >= lowest) {
+            uint32_t cpos = cand - 1;
+            const uint8_t* mp = wbase + cpos;
+            if (read32(mp) == pat && (gram < 5 || mp[4] == pb) &&
+                (gram < 6 || mp[5] == pb)) {
+                // uniform gram: measure its whole segment once
+                int fwd0 = count_run_fwd(mp, matchlimit + LASTLITERALS, pb);
+                int back0 = count_run_bwd(mp, low_base, pb);
+                uint32_t s = cpos - (uint32_t)back0;
+                uint32_t e = cpos + (uint32_t)fwd0;
+                if (s < src_start) {  // a PREVIOUS run (maximal runs are
+                                      // disjoint; the own run is the
+                                      // caller's self-match case)
+                    PLZ4_STAT(++g_cfstats.pa_segs);
+                    int tail = count_match(send, wbase + e, matchlimit);
+                    if (s < pasum.static_floor) {
+                        pasum.bd.push_back(PaSeg{0, s, e, tail});
+                    } else {
+                        pasum.st.push_back(PaSeg{e - s, s, e, tail});
+                    }
+                }
+                // hop below the segment: chain entry at its first
+                // position (uniform gram since seg >= gram here — shorter
+                // segments never enter this bucket and cannot host
+                // matches >= gram; the recovery ladder owns those)
+                if (s <= lowest) break;
+                uint32_t dseg = chain[s & 0xFFFF];
+                if (dseg == 0 || s - dseg < floor_pos) break;
+                cand = s - dseg + 1;
+                continue;
+            }
+            // hash collision (non-uniform gram — cannot match a uniform
+            // probe): step singly
+            uint32_t d = chain[cpos & 0xFFFF];
+            if (d == 0) break;
+            cand -= d;
+        }
+        std::sort(pasum.st.begin(), pasum.st.end(),
+                  [](const PaSeg& a, const PaSeg& b) { return a.len > b.len; });
+        int32_t mt = INT32_MIN;
+        uint32_t me = 0;
+        for (PaSeg& sg : pasum.st) {
+            if (sg.tail > mt) {
+                mt = sg.tail;
+                me = sg.e;
+            }
+            sg.tail = mt;
+            sg.e = me;
+        }
+    }
+
+    // Exact best run-match option at `pos` inside the summarized run.
+    // Returns length (0 = none) and the match position via *q_out; also
+    // refreshes the mid-run fit cache for the RLE carry-skip path.
+    int pa_query(uint32_t pos, uint32_t lowest, const uint8_t** q_out) {
+        const uint32_t r = pasum.src_end - pos;
+        int best = 0;
+        uint32_t bq = 0;
+        std::vector<PaSeg>& st = pasum.st;
+        size_t cnt = std::partition_point(
+                         st.begin(), st.end(),
+                         [r](const PaSeg& sg) { return sg.len >= r; }) -
+                     st.begin();
+        if (cnt > 0) {
+            // fit: q1 = e - r >= s >= static_floor >= lowest by selection
+            best = (int)r + st[cnt - 1].tail;
+            bq = st[cnt - 1].e - r;
+            if (fit.b != pasum.b || fit.re != pasum.src_end ||
+                st[cnt - 1].tail > fit.tail)
+                fit = Fit{pasum.src_end, st[cnt - 1].e, st[cnt - 1].tail,
+                          pasum.b};
+        }
+        if (cnt < st.size() && (int)st[cnt].len > best) {
+            // longest too-short segment: contributes its own length
+            best = (int)st[cnt].len;
+            bq = st[cnt].s;
+        }
+        if (pos > pasum.src_start && (int)r >= best) {
+            // self-match: exactly r at any in-run q; prefer it on ties —
+            // offset 1 keeps the RLE carry-skip armed downstream
+            best = (int)r;
+            bq = pos - 1;
+        }
+        for (const PaSeg& sg : pasum.bd) {
+            uint32_t cs = sg.s < lowest ? lowest : sg.s;
+            if (cs >= sg.e) continue;  // slid fully out of the window
+            uint32_t cl = sg.e - cs;
+            if (cl >= r) {
+                if ((int)r + sg.tail > best) {
+                    best = (int)r + sg.tail;
+                    bq = sg.e - r;
+                }
+                if (fit.b != pasum.b || fit.re != pasum.src_end ||
+                    sg.tail > fit.tail)
+                    fit = Fit{pasum.src_end, sg.e, sg.tail, pasum.b};
+            } else if ((int)cl > best) {
+                best = (int)cl;
+                bq = cs;
+            }
+        }
+        *q_out = wbase + bq;
+        return best;
+    }
+
     ChainFinder()
         : wbase(nullptr),
           low_base(nullptr),
@@ -496,6 +658,7 @@ struct ChainFinder {
         wbase = low_base = nullptr;
         for (Seg& sg : segcache) sg = Seg{};
         fit = Fit{};
+        pasum.valid = false;
     }
 
     // Begin a fresh buffer: prior positions become unreachable without any
@@ -508,6 +671,7 @@ struct ChainFinder {
         wbase = buf_start - next_insert;
         for (Seg& sg : segcache) sg = Seg{};  // positions re-alias content
         fit = Fit{};
+        pasum.valid = false;
     }
 
     void insert_upto(const uint8_t* p) {
@@ -601,6 +765,7 @@ struct ChainFinder {
         uint32_t cand = head[hashp(ip)];
         int best = 0;
         if (seed_len >= MINMATCH) {
+            PLZ4_STAT(++g_cfstats.seeded);
             best = seed_len;
             *mpos = ip - seed_off;
             // the carried match already satisfies the good-enough policy:
@@ -614,10 +779,45 @@ struct ChainFinder {
         // not taken) — skip the walk entirely
         if (best >= MINMATCH && ip + best >= matchlimit) return best;
         uint32_t first4 = read32(ip);
-        uint32_t mcp = 0;                       // chain-swap gram offset
-        bool need_swap = best >= MINMATCH;      // seed arms a swap
         const bool pa_ok = first4 == 0x01010101u * (uint8_t)first4;
         const uint8_t pb = (uint8_t)first4;
+        // Run-summary fast path (see PaSum): when the probe's whole gram
+        // is byte-uniform, ONE segment walk per source run answers every
+        // in-run position exactly — the chain walk below is skipped.
+        bool walk = true;
+        if (pa_ok) {
+            const uint32_t mlpos = (uint32_t)(matchlimit - wbase);
+            if (!(pasum.valid && pasum.b == pb && pasum.src_start <= pos &&
+                  pos < pasum.src_end) &&
+                (gram < 5 || ip[4] == pb) && (gram < 6 || ip[5] == pb)) {
+                int fwd0 = MINMATCH + count_run_fwd(ip + MINMATCH,
+                                                    matchlimit + LASTLITERALS,
+                                                    pb);
+                int back0 = count_run_bwd(ip, low_base, pb);
+                uint32_t s_end = pos + (uint32_t)fwd0;
+                // runs crossing matchlimit (block-tail region) keep the
+                // old per-position path: the fit alignment there is
+                // against the CAPPED source end, which the summary's
+                // position-independent tails cannot express
+                if (s_end <= mlpos)
+                    pa_build(ip, matchlimit, pb, lowest,
+                             pos - (uint32_t)back0, s_end);
+            }
+            if (pasum.valid && pasum.b == pb && pasum.src_start <= pos &&
+                pos < pasum.src_end &&
+                pasum.src_end - pos >= (uint32_t)gram) {
+                const uint8_t* q;
+                int l = pa_query(pos, lowest, &q);
+                if (l > best) {
+                    best = l;
+                    *mpos = q;
+                }
+                walk = false;  // exact: nothing the chain walk could add
+            }
+        }
+        if (walk) {
+        uint32_t mcp = 0;                       // chain-swap gram offset
+        bool need_swap = best >= MINMATCH;      // seed arms a swap
         int src_run = -1;                       // lazily measured
         // Per-find cap on pattern-analysis segment visits (see OptParams
         // .pa_budget; part of the KNOWN APPROXIMATION budget, validated
@@ -822,6 +1022,7 @@ struct ChainFinder {
                     bool dead = false;
                     int accel = 1 << 4;  // accelerating scan on long spans
                     for (int p2 = 0; p2 <= end;) {
+                        PLZ4_STAT(++g_cfstats.span_reads);
                         uint32_t q = bpos + (uint32_t)p2;
                         uint32_t d = chain[q & 0xFFFF];
                         if (d == 0 || q - d < floor_pos) {
@@ -903,6 +1104,7 @@ struct ChainFinder {
                 cand = member - mcp + 1;
             }
         }
+        }  // if (walk)
         // Recovery ladder: for each length below the primary gram, walk
         // that length's ring to the first VERIFIED occurrence (nearest is
         // as good as any at equal length; anything longer would have been
@@ -912,6 +1114,7 @@ struct ChainFinder {
             uint32_t c5 = head5[hash5(ip, hashlog)];
             int rb = nb_attempts > 16 ? nb_attempts : 16;
             while (c5 != 0 && c5 - 1 >= lowest && rb-- > 0) {
+                PLZ4_STAT(++g_cfstats.ladder);
                 const uint8_t* mp5 = wbase + (c5 - 1);
                 if (read32(mp5) == first4 && mp5[4] == ip[4]) {
                     int len = count_match(ip, mp5, matchlimit);
@@ -930,6 +1133,7 @@ struct ChainFinder {
             uint32_t c4 = head4[hash4(first4, hashlog)];
             int rb = nb_attempts > 16 ? nb_attempts : 16;
             while (c4 != 0 && c4 - 1 >= lowest && rb-- > 0) {
+                PLZ4_STAT(++g_cfstats.ladder);
                 const uint8_t* mp4 = wbase + (c4 - 1);
                 if (read32(mp4) == first4) {
                     best = count_match(ip, mp4, matchlimit);

@@ -139,5 +139,15 @@ int main(int argc, char** argv) {
            (double)g_cfstats.gl_iters / reps / n,
            (unsigned long long)g_cfstats.tail_q,
            (double)g_cfstats.tail_q / reps / n);
+    printf("span_reads=%llu (%.1f/find) ladder=%llu (%.2f/find) "
+           "seeded=%llu (%.2f of finds)\n",
+           (unsigned long long)g_cfstats.span_reads,
+           g_cfstats.finds ? (double)g_cfstats.span_reads / g_cfstats.finds
+                           : 0.0,
+           (unsigned long long)g_cfstats.ladder,
+           g_cfstats.finds ? (double)g_cfstats.ladder / g_cfstats.finds : 0.0,
+           (unsigned long long)g_cfstats.seeded,
+           g_cfstats.finds ? (double)g_cfstats.seeded / g_cfstats.finds
+                           : 0.0);
     return 0;
 }
