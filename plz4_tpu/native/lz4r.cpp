@@ -48,6 +48,8 @@ struct CfStats {
     uint64_t swaps = 0;       // chain-swap re-picks taken
     uint64_t gl_iters = 0;    // DP: match-cost g-loop iterations
     uint64_t tail_q = 0;      // DP: ResTree query pairs actually run
+    uint64_t pa_builds = 0;   // PaSum builds (one per summarized run)
+    uint64_t pa_bsteps = 0;   // PaSum build walk steps (segments + collisions)
     uint64_t span_reads = 0;  // chain-swap span-scan chain[] reads
     uint64_t ladder = 0;      // 5/4-gram recovery-ladder probes
     uint64_t seeded = 0;      // find() calls entered with a carried seed
@@ -500,10 +502,12 @@ struct ChainFinder {
         pasum.static_floor = lowest + (src_end - pos);
         pasum.st.clear();
         pasum.bd.clear();
+        PLZ4_STAT(++g_cfstats.pa_builds);
         const uint8_t* const send = wbase + src_end;
         const uint32_t pat = 0x01010101u * pb;
         uint32_t cand = head[hashp(ip)];
         while (cand != 0 && cand - 1 >= lowest) {
+            PLZ4_STAT(++g_cfstats.pa_bsteps);
             uint32_t cpos = cand - 1;
             const uint8_t* mp = wbase + cpos;
             if (read32(mp) == pat && (gram < 5 || mp[4] == pb) &&
@@ -1515,6 +1519,17 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // region, unlike a static seeded budget, which the budget sweep
         // showed cannot satisfy text and boiler simultaneously.
         int cur_sat = attempts;
+        // O(1) remaining-run lookup for the far-carry probe below: the
+        // probe used to re-scan the rest of the run with count_run_fwd at
+        // EVERY far-carried in-run position — O(run^2) per run, the
+        // dominant pass-1 cost on run-dense data once the summary made
+        // the finds themselves cheap. A run's end is content-static, so
+        // one measurement serves every later position inside it
+        // (count_run_fwd's matchlimit cap agrees: if the first measure
+        // was capped, run_end = mlpos and later remainders still come out
+        // exactly mlpos - pos).
+        int prun_end = -1;
+        uint8_t prun_b = 0;
         for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
             if (carry_len > 64 && carry_off > 8) {
@@ -1528,7 +1543,14 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                 // never sees the long cheap match).
                 const uint8_t b0 = *ip;
                 if (ip[-1] == b0 && read32(ip) == 0x01010101u * b0) {
-                    int rl = count_run_fwd(ip, matchlimit, b0);
+                    int rl;
+                    if (prun_b == b0 && i < prun_end) {
+                        rl = prun_end - i;
+                    } else {
+                        rl = count_run_fwd(ip, matchlimit, b0);
+                        prun_b = b0;
+                        prun_end = i + rl;
+                    }
                     if (rl > carry_len) {
                         carry_len = rl;
                         carry_off = 1;
@@ -1611,10 +1633,21 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     w0.reset(n + 1);
     w1.reset(n + 1);
     w2.reset(n + 1);
+    // match-length windows for the g-loop below: within l in [4,18]
+    // (mlext 0) and [19,36] (mlext 1) the price term is constant, so the
+    // min over dp[i+l] alone decides — two sliding window-minima replace
+    // the 33-iteration scan wherever ml >= 36 (RLE-dense data has ml in
+    // the thousands at nearly every position; the scan was the dominant
+    // pass-2 cost there). Exact: same candidate set, same ascending-l
+    // tie-break (WinMin's >= pop keeps the latest = smallest j on ties).
+    static thread_local WinMin<CostT> m0, m1;
+    m0.reset(n + 1);
+    m1.reset(n + 1);
     static thread_local ResTree<CostT> rtree;  // exact pricing for r >= 525
     rtree.reset();
     dp[n] = INF;  // a sequence cannot start at n (handled by final run)
 
+    int m_next = -2;  // windows are advanceable at step i iff m_next == i
     for (int i = n - 1; i >= 0; --i) {
         // match-part cost g[i]: short lengths exhaustively, the maximal
         // length, and the lengths just below each extension-byte bump
@@ -1622,12 +1655,45 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         if (ml >= MINMATCH) {
             CostT best = INF;
             int best_l = 0;
-            int cap = ml < 36 ? ml : 36;
-            PLZ4_STAT(g_cfstats.gl_iters += cap - MINMATCH + 1);
-            for (int l = MINMATCH; l <= cap; ++l) {
-                if (dp[i + l] >= INF) continue;
-                CostT c = 2 + mlext_price(l) + dp[i + l];
-                if (c < best) { best = c; best_l = l; }
+            if (ml >= 36) {
+                if (m_next != i) {
+                    // prime the windows here (33 pushes ~= one scan);
+                    // they then advance in O(1) while the ml>=36 stretch
+                    // lasts, and lapse for free where it doesn't — so
+                    // text-class blocks (ml < 36 nearly everywhere) pay
+                    // nothing for the window machinery
+                    m0.reset(0);
+                    m1.reset(0);
+                    for (int j = i + 18; j >= i + MINMATCH; --j)
+                        m0.push(j, dp[j]);
+                    for (int j = i + 36; j >= i + 19; --j)
+                        m1.push(j, dp[j]);
+                } else {
+                    m0.push(i + MINMATCH, dp[i + MINMATCH]);
+                    m1.push(i + 19, dp[i + 19]);
+                    m0.drop_above(i + 18);
+                    m1.drop_above(i + 36);
+                }
+                m_next = i - 1;
+                PLZ4_STAT(g_cfstats.gl_iters += 2);
+                if (!m0.empty() && m0.min() < INF) {
+                    best = 2 + 0 + m0.min();
+                    best_l = m0.argmin() - i;
+                }
+                if (!m1.empty() && m1.min() < INF) {
+                    CostT c = 2 + 1 + m1.min();
+                    if (c < best) {
+                        best = c;
+                        best_l = m1.argmin() - i;
+                    }
+                }
+            } else {
+                PLZ4_STAT(g_cfstats.gl_iters += ml - MINMATCH + 1);
+                for (int l = MINMATCH; l <= ml; ++l) {
+                    if (dp[i + l] >= INF) continue;
+                    CostT c = 2 + mlext_price(l) + dp[i + l];
+                    if (c < best) { best = c; best_l = l; }
+                }
             }
             if (ml > 36) {
                 // probe the length just below EVERY extension-byte bump

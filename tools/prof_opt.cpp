@@ -139,6 +139,11 @@ int main(int argc, char** argv) {
            (double)g_cfstats.gl_iters / reps / n,
            (unsigned long long)g_cfstats.tail_q,
            (double)g_cfstats.tail_q / reps / n);
+    printf("pa_builds=%llu pa_bsteps=%llu (%.1f/build)\n",
+           (unsigned long long)g_cfstats.pa_builds,
+           (unsigned long long)g_cfstats.pa_bsteps,
+           g_cfstats.pa_builds
+               ? (double)g_cfstats.pa_bsteps / g_cfstats.pa_builds : 0.0);
     printf("span_reads=%llu (%.1f/find) ladder=%llu (%.2f/find) "
            "seeded=%llu (%.2f of finds)\n",
            (unsigned long long)g_cfstats.span_reads,
