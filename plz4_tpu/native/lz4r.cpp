@@ -100,6 +100,11 @@ inline uint32_t hash6(const uint8_t* p, int hashlog) {
     return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
 }
 
+inline uint32_t hash7(const uint8_t* p, int hashlog) {
+    uint64_t v = read64(p) << 8;  // low 56 bits selected
+    return (uint32_t)((v * 889523592379ULL) >> (64 - hashlog));
+}
+
 // Forward run length of byte `b` starting at p, up to limit.
 inline int count_run_fwd(const uint8_t* p, const uint8_t* limit, uint8_t b) {
     const uint8_t* const s = p;
@@ -405,8 +410,10 @@ struct ChainFinder {
     // the ring lets the length-4 recovery walk to the first VERIFIED
     // occurrence. Touched only on insert + the rare recovery walk.
     std::vector<uint16_t> chain4;
-    std::vector<uint32_t> head5;  // gram == 6 only: the length-5 ladder
+    std::vector<uint32_t> head5;  // gram >= 6: the length-5 ladder
     std::vector<uint16_t> chain5;
+    std::vector<uint32_t> head6;  // gram == 7: the length-6 ladder
+    std::vector<uint16_t> chain6;
 
     // Single-byte-run segment cache for pattern analysis: consecutive
     // find() calls walk the same dense segments; measuring a multi-KB run
@@ -511,7 +518,7 @@ struct ChainFinder {
             uint32_t cpos = cand - 1;
             const uint8_t* mp = wbase + cpos;
             if (read32(mp) == pat && (gram < 5 || mp[4] == pb) &&
-                (gram < 6 || mp[5] == pb)) {
+                (gram < 6 || mp[5] == pb) && (gram < 7 || mp[6] == pb)) {
                 // uniform gram: measure its whole segment once
                 int fwd0 = count_run_fwd(mp, matchlimit + LASTLITERALS, pb);
                 int back0 = count_run_bwd(mp, low_base, pb);
@@ -638,6 +645,10 @@ struct ChainFinder {
             head5.assign((size_t)1 << 15, 0);
             chain5.assign(1 << 16, 0);
         }
+        if (gram >= 7 && head6.empty()) {
+            head6.assign((size_t)1 << 15, 0);
+            chain6.assign(1 << 16, 0);
+        }
     }
 
     // gram hash at position p. gram >= 5 reads 8 bytes: callers guarantee
@@ -645,6 +656,7 @@ struct ChainFinder {
     // stop at mflimit-class bounds, blocks below MFLIMIT+1 never build a
     // finder).
     uint32_t hashp(const uint8_t* p) const {
+        if (gram == 7) return hash7(p, hashlog);
         if (gram == 6) return hash6(p, hashlog);
         if (gram == 5) return hash5(p, hashlog);
         return hash4(read32(p), hashlog);
@@ -657,6 +669,8 @@ struct ChainFinder {
         std::fill(chain4.begin(), chain4.end(), 0);
         std::fill(head5.begin(), head5.end(), 0);
         std::fill(chain5.begin(), chain5.end(), 0);
+        std::fill(head6.begin(), head6.end(), 0);
+        std::fill(chain6.begin(), chain6.end(), 0);
         next_insert = 0;
         floor_pos = 0;
         wbase = low_base = nullptr;
@@ -700,6 +714,12 @@ struct ChainFinder {
                     uint32_t d5 = head5[h5] ? i + 1 - head5[h5] : 0;
                     chain5[i & 0xFFFF] = d5 > 65535 ? 0 : (uint16_t)d5;
                     head5[h5] = i + 1;
+                    if (gram >= 7) {
+                        uint32_t h6 = hash6(wbase + i, hashlog);
+                        uint32_t d6 = head6[h6] ? i + 1 - head6[h6] : 0;
+                        chain6[i & 0xFFFF] = d6 > 65535 ? 0 : (uint16_t)d6;
+                        head6[h6] = i + 1;
+                    }
                 }
             }
         }
@@ -718,6 +738,12 @@ struct ChainFinder {
                     uint32_t d5 = head5[h5] ? i + 1 - head5[h5] : 0;
                     chain5[i & 0xFFFF] = d5 > 65535 ? 0 : (uint16_t)d5;
                     head5[h5] = i + 1;
+                    if (gram >= 7) {
+                        uint32_t h6 = hash6(wbase + i, hashlog);
+                        uint32_t d6 = head6[h6] ? i + 1 - head6[h6] : 0;
+                        chain6[i & 0xFFFF] = d6 > 65535 ? 0 : (uint16_t)d6;
+                        head6[h6] = i + 1;
+                    }
                 }
             }
         }
@@ -793,7 +819,8 @@ struct ChainFinder {
             const uint32_t mlpos = (uint32_t)(matchlimit - wbase);
             if (!(pasum.valid && pasum.b == pb && pasum.src_start <= pos &&
                   pos < pasum.src_end) &&
-                (gram < 5 || ip[4] == pb) && (gram < 6 || ip[5] == pb)) {
+                (gram < 5 || ip[4] == pb) && (gram < 6 || ip[5] == pb) &&
+                (gram < 7 || ip[6] == pb)) {
                 int fwd0 = MINMATCH + count_run_fwd(ip + MINMATCH,
                                                     matchlimit + LASTLITERALS,
                                                     pb);
@@ -1114,6 +1141,26 @@ struct ChainFinder {
         // as good as any at equal length; anything longer would have been
         // found by the primary walk). Runs only when the walk came up
         // short, bounded by the remaining budget (floor 16).
+        if (gram >= 7 && best < 6) {
+            uint32_t c6 = head6[hash6(ip, hashlog)];
+            int rb = nb_attempts > 16 ? nb_attempts : 16;
+            while (c6 != 0 && c6 - 1 >= lowest && rb-- > 0) {
+                PLZ4_STAT(++g_cfstats.ladder);
+                const uint8_t* mp6 = wbase + (c6 - 1);
+                if (read32(mp6) == first4 && mp6[4] == ip[4] &&
+                    mp6[5] == ip[5]) {
+                    int len = count_match(ip, mp6, matchlimit);
+                    if (len > best) {
+                        best = len;
+                        *mpos = mp6;
+                    }
+                    break;
+                }
+                uint32_t d6 = chain6[(c6 - 1) & 0xFFFF];
+                if (d6 == 0) break;
+                c6 -= d6;
+            }
+        }
         if (gram >= 6 && best < 5) {
             uint32_t c5 = head5[hash5(ip, hashlog)];
             int rb = nb_attempts > 16 ? nb_attempts : 16;
@@ -1490,7 +1537,7 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         static const int OPT_GRAM = [] {
             const char* e = std::getenv("PLZ4_OPT_GRAM");
             int g = e ? std::atoi(e) : 6;
-            return g < 4 ? 4 : g > 6 ? 6 : g;
+            return g < 4 ? 4 : g > 7 ? 7 : g;
         }();
         if (cf.gram != OPT_GRAM) {
             cf.set_gram(OPT_GRAM);
