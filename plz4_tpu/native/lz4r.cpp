@@ -1420,8 +1420,12 @@ inline OptParams g_opt_params[13] = {
     // run-dense text otherwise enumerates every window segment per
     // find); UNCAPPED at 11-12 where silesia-class margins are 0-629
     // bytes (a 192/1024 cap measured -538/-612 there)
-    {96, 128, 256, 96, 32},            // 9
-    {96, 128, 256, 96, 192},           // 10
+    // 9-10 run the forward plateau parse (compress_opt_fwd; the DP joins
+    // in on run-dense blocks via the dispatcher's min-of-two) — re-swept
+    // 2026-08-18 after the parse switch: suff 512 prices more matches
+    // in-table for free (the plateau skip carries the speed)
+    {96, 512, 256, 96, 32},            // 9
+    {96, 512, 256, 96, 192},           // 10
     {2048, 512, 256, 2048, 1 << 30},   // 11
     {16384, 4095, 1024, 16384, 1 << 30},  // 12
 };
@@ -1434,6 +1438,253 @@ struct OptDbgSink {
     int n = 0;
 };
 static thread_local OptDbgSink g_optdbg;
+
+// Shared thread-local finder for the optimal-parse levels (both the
+// forward plateau parse and the backward-exact DP). Constructing fresh
+// tables per call paid ~640 KiB of zeroing + first-touch faults per
+// block; the floor_pos epoch makes stale entries self-rejecting (the
+// same scheme compress_hc uses).
+inline ChainFinder& acquire_opt_finder(const uint8_t* wbase,
+                                       const uint8_t* src,
+                                       const uint8_t* iend) {
+    static thread_local ChainFinder tl_cf_opt;
+    ChainFinder& cf = tl_cf_opt;
+    static const int OPT_GRAM = [] {
+        const char* e = std::getenv("PLZ4_OPT_GRAM");
+        int g = e ? std::atoi(e) : 6;
+        return g < 4 ? 4 : g > 7 ? 7 : g;
+    }();
+    if (cf.gram != OPT_GRAM) {
+        cf.set_gram(OPT_GRAM);
+        cf.reset();
+    }
+    // attach()'s own overflow reset fires at 0xF0000000 with one block of
+    // headroom assumed; a giant raw-API input could wrap next_insert
+    // MID-CALL — reset eagerly when this call could exhaust the u32
+    // position space
+    if ((uint64_t)cf.next_insert + (uint64_t)(iend - wbase) + 65536 >
+        0xFFFFFF00ull)
+        cf.reset();
+    cf.attach(wbase);
+    if (src > wbase) cf.insert_upto(src);
+    return cf;
+}
+
+// ---------------------------------------------------------------------------
+// Forward optimal parse with price-plateau search skip — levels 9-10.
+//
+// Reference analog: LZ4HC_compress_optimal (lz4hc.c:1823): the same
+// anchor-chunked forward price table with its two speed devices — skip
+// the search wherever the price table already knows an equal-or-cheaper
+// continuation (lz4hc.c:1929), and encode immediately above
+// sufficient_len — rebuilt here on the 6-gram finder, run summaries and
+// exact wire prices. The backward-exact DP (compress_opt_t below) keeps
+// levels 11-12, where the contract margins vs upstream are 0-629 bytes
+// and exactness is what wins them; at 9-10 the DP's +20-27 KB margins
+// fund this parse's small approximation for 3-5x speed — the trade the
+// round-2/3 budget sweeps could not reach with walk budgets alone
+// (walks end structurally far below every budget; see perf_notes
+// "Budget knobs no longer move L9/L10 speed").
+// ---------------------------------------------------------------------------
+struct FwdOpt {
+    int32_t price;
+    int32_t off;
+    int32_t mlen;  // 1 = literal
+    int32_t litlen;
+};
+constexpr int FWD_OPT_NUM = 1 << 12;
+constexpr int FWD_TRAIL = 3;
+
+inline int lit_price(int n) { return n + llext_price(n); }
+inline int seq_price(int ll, int ml) {
+    // token + 2-byte offset + literals and their extension + ml extension
+    return 3 + ll + llext_price(ll) + mlext_price(ml);
+}
+
+// Returns compressed size, 0 on dst overflow. Caller guarantees
+// src_size < 2^28 (int32 prices); larger raw inputs route to the DP.
+// *esc_bytes (optional) reports how many input bytes the immediate-encode
+// escapes covered — the dispatcher's run-density signal.
+int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
+                     uint8_t* dst, int dst_cap, int level,
+                     int* esc_bytes = nullptr) {
+    int esc_acc = 0;
+    if (src_size < 0 || dst_cap <= 0) return -1;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    if (src_size == 0) {
+        *op++ = 0;
+        return (int)(op - dst);
+    }
+    const uint8_t* const iend = src + src_size;
+    const uint8_t* const mflimit = iend - MFLIMIT;
+    const uint8_t* const matchlimit = iend - LASTLITERALS;
+    if (src_size < MFLIMIT + 1) {
+        op = emit_last_literals(op, oend, src, src_size);
+        return op ? (int)(op - dst) : 0;
+    }
+    const OptParams& prm = g_opt_params[level > 12 ? 12 : level];
+    const int attempts = prm.attempts;
+    int sufficient = prm.sufficient;
+    if (sufficient >= FWD_OPT_NUM) sufficient = FWD_OPT_NUM - 1;
+    const int pa_cap = prm.pa_budget;
+
+    ChainFinder& cf = acquire_opt_finder(wbase, src, iend);
+
+    static thread_local std::vector<FwdOpt> opt_v;
+    if ((int)opt_v.size() < FWD_OPT_NUM + FWD_TRAIL + 1)
+        opt_v.resize(FWD_OPT_NUM + FWD_TRAIL + 1);
+    FwdOpt* const opt = opt_v.data();
+
+    const uint8_t* ip = src;
+    const uint8_t* anchor = src;
+
+    while (ip <= mflimit) {
+        int llen = (int)(ip - anchor);
+        const uint8_t* m0 = nullptr;
+        int l0 = cf.find(ip, matchlimit, attempts, &m0, sufficient, 0, 0,
+                         pa_cap);
+        if (l0 < MINMATCH) {
+            ++ip;
+            continue;
+        }
+        if (l0 >= sufficient) {
+            // good enough: immediate encoding. The valve may have stopped
+            // the walk at a same-offset-extendable length — extend
+            // maximally first (upstream's heuristic emitters always do)
+            l0 += count_match(ip + l0, m0 + l0, matchlimit);
+            esc_acc += l0;
+            op = emit_sequence(op, oend, anchor, llen, (uint32_t)(ip - m0),
+                               l0);
+            if (!op) return 0;
+            ip += l0;
+            anchor = ip;
+            continue;
+        }
+        // price table over positions relative to ip; litlen counts the
+        // pending literal run INCLUDING the llen bytes before the chunk
+        // (extension-byte breakpoints depend on the total)
+        for (int r = 0; r < MINMATCH; ++r)
+            opt[r] = FwdOpt{lit_price(llen + r), 0, 1, llen + r};
+        for (int ml = MINMATCH; ml <= l0; ++ml)
+            opt[ml] =
+                FwdOpt{seq_price(llen, ml), (int32_t)(ip - m0), ml, llen};
+        int last_match_pos = l0;
+        for (int t = 1; t <= FWD_TRAIL; ++t)
+            opt[last_match_pos + t] =
+                FwdOpt{opt[last_match_pos].price + lit_price(t), 0, 1, t};
+
+        int best_mlen = 0, best_off = 0, cur;
+        bool escape = false;
+        for (cur = 1; cur < last_match_pos; ++cur) {
+            const uint8_t* cp = ip + cur;
+            if (cp > mflimit) break;
+            // price-plateau search skip: if the next position already
+            // continues at the same or lower price — and even a minimal
+            // sequence from here could not beat it — searching here
+            // cannot improve the path
+            if (opt[cur + 1].price <= opt[cur].price &&
+                opt[cur + MINMATCH].price < opt[cur].price + 3)
+                continue;
+            const uint8_t* m1 = nullptr;
+            int l1 = cf.find(cp, matchlimit, attempts, &m1, sufficient, 0,
+                             0, pa_cap);
+            if (l1 < MINMATCH) continue;
+            if (l1 >= sufficient || cur + l1 >= FWD_OPT_NUM) {
+                // long match mid-table: encode the chosen path to cur,
+                // then this match (the reference's immediate-encoding
+                // escape — best path to cur is already in opt[cur]);
+                // extend past a valve stop first
+                l1 += count_match(cp + l1, m1 + l1, matchlimit);
+                esc_acc += l1;
+                best_mlen = l1;
+                best_off = (int)(cp - m1);
+                last_match_pos = cur + 1;
+                escape = true;
+                break;
+            }
+            {   // literal extensions from cur (1..3; longer runs are
+                // re-derived at later cur positions)
+                int base_ll = opt[cur].litlen;
+                for (int lit = 1; lit < MINMATCH; ++lit) {
+                    int price = opt[cur].price - lit_price(base_ll) +
+                                lit_price(base_ll + lit);
+                    int pos = cur + lit;
+                    if (price < opt[pos].price)
+                        opt[pos] = FwdOpt{price, 0, 1, base_ll + lit};
+                }
+            }
+            {   // match prices from cur
+                int off1 = (int)(cp - m1);
+                for (int ml = MINMATCH; ml <= l1; ++ml) {
+                    int pos = cur + ml;
+                    int ll, price;
+                    if (opt[cur].mlen == 1) {
+                        ll = opt[cur].litlen;
+                        price = (cur > ll ? opt[cur - ll].price : 0) +
+                                seq_price(ll, ml);
+                    } else {
+                        ll = 0;
+                        price = opt[cur].price + seq_price(0, ml);
+                    }
+                    // beyond last_match_pos+trail the slots are stale
+                    // from an earlier chunk: overwrite unconditionally
+                    if (pos > last_match_pos + FWD_TRAIL ||
+                        price <= opt[pos].price) {
+                        if (ml == l1 && last_match_pos < pos)
+                            last_match_pos = pos;
+                        opt[pos] = FwdOpt{price, off1, ml, ll};
+                    }
+                }
+            }
+            for (int t = 1; t <= FWD_TRAIL; ++t)
+                opt[last_match_pos + t] =
+                    FwdOpt{opt[last_match_pos].price + lit_price(t), 0, 1,
+                           t};
+        }
+        if (!escape) {
+            best_mlen = opt[last_match_pos].mlen;
+            best_off = opt[last_match_pos].off;
+            cur = last_match_pos - best_mlen;
+        }
+        {   // reverse-chain the chosen path onto opt[] so it can be
+            // emitted front-to-back
+            int pos = cur;
+            int sel_ml = best_mlen, sel_off = best_off;
+            for (;;) {
+                int next_ml = opt[pos].mlen;
+                int next_off = opt[pos].off;
+                opt[pos].mlen = sel_ml;
+                opt[pos].off = sel_off;
+                sel_ml = next_ml;
+                sel_off = next_off;
+                if (next_ml > pos) break;  // chunk head reached
+                pos -= next_ml;
+            }
+        }
+        {   // emit the recorded sequences in order (literal slots just
+            // extend the pending run)
+            int r = 0;
+            while (r < last_match_pos) {
+                if (opt[r].mlen == 1) {
+                    ++r;
+                    ++ip;
+                    continue;
+                }
+                int ml = opt[r].mlen;
+                op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
+                                   (uint32_t)opt[r].off, ml);
+                if (!op) return 0;
+                ip += ml;
+                anchor = ip;
+                r += ml;
+            }
+        }
+    }
+    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
+    if (esc_bytes) *esc_bytes = esc_acc;
+    return op ? (int)(op - dst) : 0;
+}
 
 // CostT: int32 for blocks under 2^28 (the engine's blocks are <= 4 MiB) —
 // halves the DP arrays' memory traffic; int64 keeps arbitrary raw-API
@@ -1528,30 +1779,7 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // by construction (see ChainFinder::gram), text-class buckets
         // split finer at every gram step (measured steps/find on text:
         // 55 at gram 4, 29 at gram 5 — tools/prof_opt).
-        // Thread-local + attach(): constructing fresh tables per call
-        // paid ~640 KiB of zeroing + first-touch faults per block; the
-        // floor_pos epoch makes stale entries self-rejecting (the same
-        // scheme compress_hc uses).
-        static thread_local ChainFinder tl_cf_opt;
-        ChainFinder& cf = tl_cf_opt;
-        static const int OPT_GRAM = [] {
-            const char* e = std::getenv("PLZ4_OPT_GRAM");
-            int g = e ? std::atoi(e) : 6;
-            return g < 4 ? 4 : g > 7 ? 7 : g;
-        }();
-        if (cf.gram != OPT_GRAM) {
-            cf.set_gram(OPT_GRAM);
-            cf.reset();
-        }
-        // attach()'s own overflow reset fires at 0xF0000000 with one
-        // block of headroom assumed; a giant raw-API input could wrap
-        // next_insert MID-CALL — reset eagerly when this call could
-        // exhaust the u32 position space
-        if ((uint64_t)cf.next_insert + (uint64_t)(iend - wbase) + 65536 >
-            0xFFFFFF00ull)
-            cf.reset();
-        cf.attach(wbase);
-        if (src > wbase) cf.insert_upto(src);
+        ChainFinder& cf = acquire_opt_finder(wbase, src, iend);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
         // scan near-linear on RLE/periodic data. (A denser skip was tried
@@ -1850,6 +2078,41 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
 
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
+    // Levels 9-10: forward plateau parse (see compress_opt_fwd) — the
+    // speed/ratio point between the HC chain parse (<= 8) and the
+    // backward-exact DP (11-12). PLZ4_OPT_FWD=0 forces the DP at every
+    // level (sweeps, A/Bs); int32 prices bound the fwd parse to
+    // src_size < 2^28 (larger raw inputs take the DP's int64 path).
+    static const bool fwd_off = [] {
+        const char* e = std::getenv("PLZ4_OPT_FWD");
+        return e && e[0] == '0';
+    }();
+    if (!fwd_off && level <= 10 && src_size < (1 << 28)) {
+        int esc = 0;
+        int r = compress_opt_fwd(wbase, src, src_size, dst, dst_cap, level,
+                                 &esc);
+        // Run-dense blocks (immediate-encode escapes covering > 30% of
+        // the input): the plateau parse forfeits the DP's breakpoint
+        // trimming around long matches, and the DP is FAST on exactly
+        // this class (run summaries + dp windows) — run it too and keep
+        // the smaller encoding. min(fwd, DP) <= DP everywhere, so the
+        // size contract is never weaker than the DP's. The DP gets
+        // cap r: if it cannot even fit in the fwd output's size, it is
+        // not smaller.
+        if (r > 0 && (int64_t)esc * 10 <= (int64_t)src_size * 3) return r;
+        static thread_local std::vector<uint8_t> alt;
+        if (r > 0) {
+            if ((int)alt.size() < r) alt.resize(r);
+            int dn = compress_opt_t<int32_t>(wbase, src, src_size,
+                                             alt.data(), r, level);
+            if (dn > 0 && dn < r) {
+                std::memcpy(dst, alt.data(), (size_t)dn);
+                return dn;
+            }
+            return r;
+        }
+        // fwd overflowed dst_cap: the DP decides alone
+    }
     // int32 costs for every realistic block; exact int64 fallback for
     // giant raw-API inputs (>= 2^28, where int32 keys could overflow).
     // PLZ4_FORCE_COST64 exercises the int64 instantiation in tests
