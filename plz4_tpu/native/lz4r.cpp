@@ -2083,11 +2083,23 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     // backward-exact DP (11-12). PLZ4_OPT_FWD=0 forces the DP at every
     // level (sweeps, A/Bs); int32 prices bound the fwd parse to
     // src_size < 2^28 (larger raw inputs take the DP's int64 path).
-    static const bool fwd_off = [] {
+    // PLZ4_OPT_FWD: "0" = backward DP at every level (sweeps, A/Bs);
+    // otherwise the highest level the forward parse serves (default 11 —
+    // L12's byte-exact ties with upstream need the DP everywhere)
+    static const int fwd_max = [] {
         const char* e = std::getenv("PLZ4_OPT_FWD");
-        return e && e[0] == '0';
+        if (!e) return 11;
+        int v = std::atoi(e);
+        return v <= 0 ? 0 : v > 11 ? 11 : v;
     }();
-    if (!fwd_off && level <= 10 && src_size < (1 << 28)) {
+    // Level 11 blocks <= 1 MiB take the DP directly: upstream's L11
+    // margins on small text blocks are a few bytes, which only the DP
+    // holds, and running both parses to take the min would halve the
+    // common 64 KiB-block engine path. Large L11 blocks keep the fwd
+    // parse (its 4 MiB margins are +537..+2812 vs upstream).
+    const bool fwd_ok =
+        level <= fwd_max && (level <= 10 || src_size > (1 << 20));
+    if (fwd_ok && src_size < (1 << 28)) {
         int esc = 0;
         int r = compress_opt_fwd(wbase, src, src_size, dst, dst_cap, level,
                                  &esc);
@@ -2102,9 +2114,12 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
         if (r > 0 && (int64_t)esc * 10 <= (int64_t)src_size * 3) return r;
         static thread_local std::vector<uint8_t> alt;
         if (r > 0) {
-            if ((int)alt.size() < r) alt.resize(r);
+            // emitters require wild-copy slack beyond the true output —
+            // a cap of exactly r would abort the DP on near-ties
+            int cap = r + 64;
+            if ((int)alt.size() < cap) alt.resize(cap);
             int dn = compress_opt_t<int32_t>(wbase, src, src_size,
-                                             alt.data(), r, level);
+                                             alt.data(), cap, level);
             if (dn > 0 && dn < r) {
                 std::memcpy(dst, alt.data(), (size_t)dn);
                 return dn;
