@@ -12,7 +12,7 @@ from plz4_tpu import native
 
 from conftest import make_compressible, make_incompressible
 
-LEVELS = [1, 2, 4, 6, 9, 12]
+LEVELS = [1, 2, 4, 6, 9, 10, 11, 12]
 
 
 @pytest.mark.parametrize("level", LEVELS)
@@ -306,3 +306,49 @@ for lv in (9, 11, 12):
         return r.stdout
 
     assert run({}) == run({"PLZ4_FORCE_COST64": "1"})
+
+
+# --- forward plateau parse (levels 9-11) edge cases ---------------------
+# Reference analog: LZ4HC_compress_optimal (lz4hc.c:1823); our dispatcher
+# routes L9-10 (and L11 blocks > 1 MiB) through compress_opt_fwd with a
+# min-of-two DP fallback on run-dense blocks (lz4r.cpp compress_opt).
+
+
+@pytest.mark.parametrize("level", [9, 10, 11])
+def test_fwd_parse_routing_boundary_roundtrip(level):
+    """Blocks straddling the L11 1-MiB fwd/DP routing boundary roundtrip
+    bit-exactly on both sides (and the boundary block itself)."""
+    rng = np.random.default_rng(77)
+    base = make_compressible(1 << 20, seed=7) + bytes(rng.integers(
+        0, 256, 4096, dtype=np.uint8))
+    for n in ((1 << 20) - 1, 1 << 20, (1 << 20) + 1):
+        data = base[:n]
+        comp = native.compress(data, level=level)
+        assert native.decompress(comp, n) == data
+
+
+@pytest.mark.parametrize("level", [9, 10, 11])
+def test_fwd_parse_run_dense_min_of_two(level):
+    """Run-dense blocks trigger the min-of-two DP fallback; the output
+    must roundtrip and never exceed the plain HC level below it by more
+    than the escape trade allows (sanity envelope, not the contract —
+    the upstream oracle pins the real contract)."""
+    rng = np.random.default_rng(13)
+    parts = []
+    for _ in range(200):
+        parts.append(bytes([int(rng.integers(0, 4))]) *
+                     int(rng.integers(40, 3000)))
+        parts.append(bytes(rng.integers(33, 120, int(rng.integers(5, 90)),
+                                        dtype=np.uint8)))
+    data = b"".join(parts)
+    comp = native.compress(data, level=level)
+    assert native.decompress(comp, len(data)) == data
+    assert len(comp) <= len(native.compress(data, level=8))
+
+
+@pytest.mark.parametrize("level", [9, 10, 11])
+def test_fwd_parse_tight_cap_returns_none(level):
+    """compress_into with an undersized dst fails cleanly (the raw-block
+    API's retry-growth path depends on this) at the fwd-parse levels."""
+    data = make_incompressible(8192, seed=3)
+    assert native.compress_into(data, dst_cap=64, level=level) is None
