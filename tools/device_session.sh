@@ -14,6 +14,8 @@ for attempt in $(seq 1 120); do
 done
 echo "=== vprims ==="
 timeout 900 python tools/tpu_kernel_lab.py vprims
+echo "=== vcopy decode prototype (the ~2x lever) ==="
+timeout 900 python tools/tpu_kernel_lab.py vcopy
 echo "=== bench_kernels baseline ==="
 timeout 900 python tools/bench_kernels.py enc mid dec
 echo "=== decode small4 A/B ==="

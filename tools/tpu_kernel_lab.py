@@ -595,6 +595,8 @@ def main():
         exp_bwablate()
     if "vprims" in which:
         exp_vprims()
+    if "vcopy" in which:
+        exp_vcopy()
 
 
 
@@ -1091,8 +1093,6 @@ def exp_bytewide():
     timed_kloop(mk, K, B * BLOCK * K, "bytewide decode (16x64K)")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def exp_vprims():
@@ -1209,3 +1209,229 @@ def exp_vprims():
 
     run_mixed("scalar-loop-alone", False, 1 << 12, 1 << 15)
     run_mixed("scalar-loop+vec-copy", True, 1 << 12, 1 << 15)
+
+
+VLANE = 128
+
+
+def _decode_vcopy_kernel(c_ref, clen_ref, cv_ref, o_ref, n_out_ref,
+                         ok_ref):
+    """Vector-copy decode prototype (the perf_notes '~2x decode' lever,
+    realized with dynamic-offset vector slices instead of rolls): the
+    scalar core parses sequences from SMEM, and EVERY output byte is
+    written by a 128-lane dynamic-offset VMEM store — wild stores are
+    safe because the output cursor advances monotonically, so clobbered
+    tail lanes are rewritten by later sequences (buffers carry +128 lane
+    padding). Literal pulls read a VMEM copy of the compressed stream
+    (vector ops cannot touch SMEM). Matches: the head chunk is one
+    128-lane copy from op-off (its first min(off, mlen) lanes are
+    valid); small offsets then pattern-double (store at op+p reading
+    from op: stored lane i is o[op+i], correct while i < p since p is a
+    multiple of off) in log2 steps, and long matches continue chunked
+    at distance p >= 128."""
+    C = c_ref.shape[0]
+    CV = cv_ref.shape[0]
+    N = o_ref.shape[0]
+    NP = N - VLANE  # highest legal vector-store start
+    clen = clen_ref[0]
+
+    def read_varint(ip, base):
+        def vcond(s):
+            return s[2] == 255
+
+        def vbody(s):
+            total, p, _ = s
+            b = c_ref[jnp.minimum(p, C - 1)]
+            return total + b, p + 1, b
+
+        total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
+        return total, p
+
+    def cond(state):
+        return jnp.logical_not(state[3])
+
+    def body(state):
+        ip, op, ok, _ = state
+        bad = ip >= clen
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        ip = ip + 1
+        lit_len = token >> 4
+
+        def lit_ext():
+            e0 = c_ref[jnp.minimum(ip, C - 1)]
+            return jax.lax.cond(
+                e0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + e0, ip + 1))
+
+        lit_len, ip = jax.lax.cond(lit_len == 15, lit_ext,
+                                   lambda: (lit_len, ip))
+        bad = bad | (ip + lit_len > clen) | (op + lit_len > NP)
+        lit_n = jnp.where(bad, 0, lit_len)
+
+        def lit_copy(_):
+            def wbody(t, _):
+                s = jnp.minimum(ip + t * VLANE, CV - VLANE)
+                d = jnp.minimum(op + t * VLANE, NP)
+                o_ref[pl.ds(d, VLANE)] = cv_ref[pl.ds(s, VLANE)]
+                return 0
+            jax.lax.fori_loop(0, (lit_n + VLANE - 1) // VLANE, wbody, 0)
+            return 0
+
+        jax.lax.cond(lit_n > 0, lit_copy, lambda _: 0, 0)
+        ip = ip + lit_len
+        op = op + lit_len
+        done = (ip >= clen) | bad
+
+        def do_match(ip, op, bad):
+            off = c_ref[jnp.minimum(ip, C - 1)] | \
+                (c_ref[jnp.minimum(ip + 1, C - 1)] << 8)
+            ip = ip + 2
+            bad = bad | (ip > clen) | (off == 0)
+            mlen = token & 15
+
+            def m_ext():
+                e0 = c_ref[jnp.minimum(ip, C - 1)]
+                return jax.lax.cond(
+                    e0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + e0, ip + 1))
+
+            mlen, ip = jax.lax.cond(mlen == 15, m_ext, lambda: (mlen, ip))
+            mlen = mlen + 4
+            bad = bad | (op + mlen > NP) | (off > op)
+            m_n = jnp.where(bad, 0, mlen)
+
+            def m_copy(_):
+                # head chunk: first min(off, m_n) lanes valid
+                s0 = jnp.maximum(op - off, 0)
+                o_ref[pl.ds(jnp.minimum(op, NP), VLANE)] = \
+                    o_ref[pl.ds(jnp.minimum(s0, NP), VLANE)]
+
+                # pattern-double the valid period to p >= min(m_n, 128)
+                def dcond(p):
+                    return (p < VLANE) & (p < m_n)
+
+                def dbody(p):
+                    d = jnp.minimum(op + p, NP)
+                    o_ref[pl.ds(d, VLANE)] = \
+                        o_ref[pl.ds(jnp.minimum(op, NP), VLANE)]
+                    return p * 2
+
+                p0 = jnp.where((off >= VLANE) | (m_n <= off),
+                               jnp.maximum(off, VLANE), off)
+                p = jax.lax.while_loop(dcond, dbody, p0)
+
+                # chunked continuation at distance p (>= 128 here)
+                def wbody(t, _):
+                    d = jnp.minimum(op + p + t * VLANE, NP)
+                    o_ref[pl.ds(d, VLANE)] = \
+                        o_ref[pl.ds(jnp.maximum(d - p, 0), VLANE)]
+                    return 0
+
+                rem = jnp.maximum(m_n - p, 0)
+                jax.lax.fori_loop(0, (rem + VLANE - 1) // VLANE, wbody, 0)
+                return 0
+
+            jax.lax.cond(m_n > 0, m_copy, lambda _: 0, 0)
+            return ip, op + m_n, bad
+
+        ip, op, bad = jax.lax.cond(
+            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
+        return ip, op, ok & jnp.logical_not(bad), done | bad
+
+    ip, op, ok, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
+    ok = ok & (ip == clen)
+    n_out_ref[0] = op
+    ok_ref[0] = ok.astype(I32)
+
+
+def exp_vcopy():
+    """Vector-copy decode prototype vs the byte-wide scalar kernel.
+    Correctness on corpus blocks first (small slices in interpret mode
+    off-TPU), then the two-k timing on chip."""
+    interp = jax.default_backend() != "tpu"
+    blocks = corpus_blocks()
+    if interp:
+        # interpret mode emulates every while iteration in Python —
+        # validate semantics on small slices (incl. RLE + short-cycle
+        # ones for the pattern-doubling path), not the 16x64K corpus
+        blocks = [blocks[0][:4096],
+                  (b"\x00" * 700 + blocks[1][:80]) * 3,
+                  b"ab" * 500 + b"xyz" * 200 + bytes(range(256)),
+                  blocks[2][:97]]
+    comp_np = [native.compress(b) for b in blocks]
+    C = BLOCK + 24
+    CPAD = C + VLANE
+    NPAD = BLOCK + 2 * VLANE
+    nb = len(blocks)
+    carr = np.zeros((nb, CPAD), np.uint8)
+    clens = np.zeros((nb,), np.int32)
+    for i, c in enumerate(comp_np):
+        carr[i, : len(c)] = np.frombuffer(c, np.uint8)
+        clens[i] = len(c)
+
+    @jax.jit
+    def dec_one(c_u8, clen):
+        c = c_u8.astype(I32)
+        return pl.pallas_call(
+            _decode_vcopy_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((NPAD,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            interpret=interp,
+        )(c[:C], jnp.reshape(clen, (1,)), c)
+
+    nbad = 0
+    for i in range(nb):
+        try:
+            o, n, ok = dec_one(jnp.asarray(carr[i]), jnp.int32(clens[i]))
+            out = np.asarray(o[: int(n[0])]).astype(np.uint8).tobytes()
+            good = int(ok[0]) == 1 and out == blocks[i]
+        except Exception as e:  # noqa: BLE001 - lowering failure is data
+            print(f"vcopy decode: LOWERING/RUN FAILED: {str(e)[:200]}")
+            return
+        if not good:
+            nbad += 1
+            print(f"vcopy decode: block {i} MISMATCH "
+                  f"(n={int(n[0])}, want {len(blocks[i])}, ok={int(ok[0])})")
+    print(f"vcopy decode: {nb - nbad}/{nb} blocks correct "
+          f"(interpret={interp})")
+    if nbad or interp:
+        return
+
+    comp = jnp.asarray(carr)
+    cl = jnp.asarray(clens)
+    K = 48
+
+    def mk(vary):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                c = comp.at[:, -1].set((i & 255).astype(jnp.uint8)) \
+                    if vary else comp
+
+                def one(args):
+                    w, l = args
+                    _, n, _ = dec_one(w, l)
+                    return n[0]
+
+                ns = jax.lax.map(one, (c, cl))
+                return acc + jnp.sum(ns)
+            return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return f
+
+    timed_kloop(mk, K, B * BLOCK * K, "vcopy decode (16x64K)")
+
+
+if __name__ == "__main__":
+    main()
