@@ -137,7 +137,7 @@ def test_dict_compress_upstream_decodes(level):
     assert up.decompress(comp, len(data), dict_=dict_) == data
 
 
-@pytest.mark.parametrize("level", [1, 9])
+@pytest.mark.parametrize("level", [1, 9, 10, 11])
 def test_upstream_dict_compress_we_decode(level):
     dict_ = _dict_bin()[:65536] if os.path.exists(_DICT_SAMPLE) else \
         make_compressible(30000, seed=1)
@@ -149,7 +149,7 @@ def test_upstream_dict_compress_we_decode(level):
 # --- linked-chain conformance (the linked-frame block sequence) -------------
 
 
-@pytest.mark.parametrize("level", [1, 6])
+@pytest.mark.parametrize("level", [1, 6, 9, 11])
 def test_upstream_linked_chain_we_decode(level):
     blocks = [make_compressible(16000, seed=50 + i) for i in range(5)]
     chain = up.compress_linked(blocks, level=level)
@@ -161,7 +161,7 @@ def test_upstream_linked_chain_we_decode(level):
         window = (window + out)[-65536:]
 
 
-@pytest.mark.parametrize("level", [1, 6])
+@pytest.mark.parametrize("level", [1, 6, 9, 11])
 def test_our_linked_chain_upstream_decodes(level):
     blocks = [make_compressible(16000, seed=60 + i) for i in range(5)]
     window = b""
