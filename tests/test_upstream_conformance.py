@@ -237,8 +237,10 @@ def test_size_contract_residual_bound():
     """The KNOWN APPROXIMATION in lz4r.cpp, enforced: across 500 seeds of
     adversarial structured payloads at every opt level, losses vs upstream
     are bounded — each loss <= max(10 bytes, 2% of the upstream size) and
-    at most 20% of (payload, level) trials lose at all (measured 13.5%;
-    almost all losses are 1-15 bytes / under 0.25%). (The relative arm
+    at most 20% of (payload, level) trials lose at all (measured 13.5%
+    in round 2; 4.2% after the round-3 forward-plateau/min-of-two
+    rebuild, with L9 at zero losses and a 51 B / 0.58% worst case on a
+    2000-seed extended sweep). (The relative arm
     exists for the run-dense-text class, which loses up to
     ~1.6% at L10 on small payloads — see lz4r.cpp pass 1; knob sweeps on
     attempts/sufficient/skip/pa recover under 20% of it, the rest is the
