@@ -2100,6 +2100,24 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     const bool fwd_ok =
         level <= fwd_max && (level <= 10 || src_size > (1 << 20));
     if (fwd_ok && src_size < (1 << 28)) {
+        // Run-dominated blocks go straight to the DP: the min-of-two
+        // below picks the DP's bytes there anyway (measured: fwd never
+        // wins on >50%-run content), so running the fwd parse first is
+        // pure overhead. 128 sampled positions estimate the byte-run
+        // fraction; a wrong guess only trades speed between two
+        // contract-safe parses, never size below the DP's.
+        if (src_size >= 4096) {
+            int uniform = 0;
+            int stride = src_size / 128;
+            for (int t = 0; t < 128; ++t) {
+                const uint8_t* p = src + (size_t)t * stride;
+                uint32_t v = read32(p);
+                uniform += (v == 0x01010101u * (uint8_t)v);
+            }
+            if (uniform > 64)
+                return compress_opt_t<int32_t>(wbase, src, src_size, dst,
+                                               dst_cap, level);
+        }
         int esc = 0;
         int r = compress_opt_fwd(wbase, src, src_size, dst, dst_cap, level,
                                  &esc);
