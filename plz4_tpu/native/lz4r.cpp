@@ -618,6 +618,29 @@ struct ChainFinder {
         return best;
     }
 
+    // Rebase this (prebuilt, fully-inserted) finder's state onto `work`
+    // for an independent record appended after the window at `new_wbase`
+    // — the dict-record path's per-record cost becomes a handful of
+    // memcpy-fast vector copies instead of a full window re-insert.
+    void copy_into(ChainFinder& work, const uint8_t* new_wbase) const {
+        work.set_gram(gram);
+        work.hashlog = hashlog;
+        work.head = head;
+        work.chain = chain;
+        work.head4 = head4;
+        work.chain4 = chain4;
+        work.head5 = head5;
+        work.chain5 = chain5;
+        work.head6 = head6;
+        work.chain6 = chain6;
+        work.next_insert = next_insert;
+        work.floor_pos = 0;
+        work.wbase = work.low_base = new_wbase;
+        for (Seg& sg : work.segcache) sg = Seg{};
+        work.fit = Fit{};
+        work.pasum.valid = false;
+    }
+
     ChainFinder()
         : wbase(nullptr),
           low_base(nullptr),
@@ -1444,16 +1467,21 @@ static thread_local OptDbgSink g_optdbg;
 // tables per call paid ~640 KiB of zeroing + first-touch faults per
 // block; the floor_pos epoch makes stale entries self-rejecting (the
 // same scheme compress_hc uses).
+inline int opt_gram() {
+    static const int g = [] {
+        const char* e = std::getenv("PLZ4_OPT_GRAM");
+        int v = e ? std::atoi(e) : 6;
+        return v < 4 ? 4 : v > 7 ? 7 : v;
+    }();
+    return g;
+}
+
 inline ChainFinder& acquire_opt_finder(const uint8_t* wbase,
                                        const uint8_t* src,
                                        const uint8_t* iend) {
     static thread_local ChainFinder tl_cf_opt;
     ChainFinder& cf = tl_cf_opt;
-    static const int OPT_GRAM = [] {
-        const char* e = std::getenv("PLZ4_OPT_GRAM");
-        int g = e ? std::atoi(e) : 6;
-        return g < 4 ? 4 : g > 7 ? 7 : g;
-    }();
+    const int OPT_GRAM = opt_gram();
     if (cf.gram != OPT_GRAM) {
         cf.set_gram(OPT_GRAM);
         cf.reset();
@@ -1507,7 +1535,7 @@ inline int seq_price(int ll, int ml) {
 // escapes covered — the dispatcher's run-density signal.
 int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
                      uint8_t* dst, int dst_cap, int level,
-                     int* esc_bytes = nullptr) {
+                     int* esc_bytes = nullptr, ChainFinder* ext = nullptr) {
     int esc_acc = 0;
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
@@ -1529,7 +1557,7 @@ int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
     if (sufficient >= FWD_OPT_NUM) sufficient = FWD_OPT_NUM - 1;
     const int pa_cap = prm.pa_budget;
 
-    ChainFinder& cf = acquire_opt_finder(wbase, src, iend);
+    ChainFinder& cf = ext ? *ext : acquire_opt_finder(wbase, src, iend);
 
     static thread_local std::vector<FwdOpt> opt_v;
     if ((int)opt_v.size() < FWD_OPT_NUM + FWD_TRAIL + 1)
@@ -1693,7 +1721,8 @@ int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
 // n < 2^28 with INF = 2^30 headroom.
 template <typename CostT>
 int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
-                   uint8_t* dst, int dst_cap, int level) {
+                   uint8_t* dst, int dst_cap, int level,
+                   ChainFinder* ext = nullptr) {
     if (src_size < 0 || dst_cap <= 0) return -1;
     uint8_t* op = dst;
     uint8_t* const oend = dst + dst_cap;
@@ -1779,7 +1808,7 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // by construction (see ChainFinder::gram), text-class buckets
         // split finer at every gram step (measured steps/find on text:
         // 55 at gram 4, 29 at gram 5 — tools/prof_opt).
-        ChainFinder& cf = acquire_opt_finder(wbase, src, iend);
+        ChainFinder& cf = ext ? *ext : acquire_opt_finder(wbase, src, iend);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
         // scan near-linear on RLE/periodic data. (A denser skip was tried
@@ -2612,6 +2641,8 @@ struct Lz4rDictCtx {
     std::vector<uint32_t> tab;      // prebuilt greedy table (hash4) over dict
     ChainFinder hc;                 // prebuilt HC chains over dict (lazy)
     bool hc_built = false;
+    ChainFinder opt;                // prebuilt opt-gram chains (lazy)
+    bool opt_built = false;
     std::vector<uint32_t> ov_pos;   // greedy overlay (epoch-tagged)
     std::vector<uint16_t> ov_ep;
     uint16_t epoch = 0;
@@ -2638,12 +2669,72 @@ LZ4R_API Lz4rDictCtx* lz4r_dict_create(const uint8_t* dict, int dict_size) {
 LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
                                 int src_size, uint8_t* dst, int dst_cap,
                                 int level) {
-    if (src_size >= 65536 || level >= 9) {
+    if (src_size >= 65536) {
         // >=64 KiB blocks hash 5 bytes (the prebuilt table is 4-byte-
-        // hashed) and the rebuild cost amortizes; the optimal parser has
-        // no streaming state to share
+        // hashed) and the rebuild cost amortizes
         return lz4r_compress(src, src_size, dst, dst_cap, level,
                              c->scratch.data(), (int)c->window_size);
+    }
+    if (level >= 9) {
+        // Opt levels: prebuilt opt-gram chains rebased per record (the
+        // old per-record window re-insert measured 1.6-1.8 MB/s on 1 KiB
+        // records). Routing mirrors compress_opt's dispatcher, except
+        // the min-of-two DP re-run takes a FRESH prebuilt copy (the fwd
+        // pass's inserts cannot be retracted from a shared finder).
+        if (!c->opt_built) {
+            c->opt.set_gram(opt_gram());
+            c->opt.reset();
+            c->opt.attach(c->scratch.data());
+            // stop 8 short: gram hashing reads 8 bytes at each inserted
+            // position; the tail positions are inserted by the working
+            // finder once the record bytes are appended
+            if (c->window_size > 8)
+                c->opt.insert_upto(c->scratch.data() + c->window_size - 8);
+            c->opt_built = true;
+        }
+        c->scratch.resize(c->window_size + (size_t)src_size);
+        std::memcpy(c->scratch.data() + c->window_size, src, src_size);
+        const uint8_t* wbase = c->scratch.data();
+        const uint8_t* s = wbase + c->window_size;
+        // per-record working finder = prebuilt state rebased to the
+        // current scratch address (vector copies stay memcpy-fast:
+        // capacity is retained). An in-place undo-log variant measured
+        // NO gain — per-record cost is find-bound, not copy-bound.
+        static thread_local ChainFinder workopt;
+        c->opt.copy_into(workopt, wbase);
+        bool rundense = false;
+        if (src_size >= 4096) {
+            int uniform = 0;
+            int stride = src_size / 128;
+            for (int t = 0; t < 128; ++t) {
+                uint32_t v = read32(s + (size_t)t * stride);
+                uniform += (v == 0x01010101u * (uint8_t)v);
+            }
+            rundense = uniform > 64;
+        }
+        if (level <= 10 && !rundense) {
+            int esc = 0;
+            int r = compress_opt_fwd(wbase, s, src_size, dst, dst_cap,
+                                     level, &esc, &workopt);
+            if (r > 0 && (int64_t)esc * 10 <= (int64_t)src_size * 3)
+                return r;
+            c->opt.copy_into(workopt, wbase);
+            if (r > 0) {
+                static thread_local std::vector<uint8_t> alt;
+                int cap = r + 64;
+                if ((int)alt.size() < cap) alt.resize(cap);
+                int dn = compress_opt_t<int32_t>(wbase, s, src_size,
+                                                 alt.data(), cap, level,
+                                                 &workopt);
+                if (dn > 0 && dn < r) {
+                    std::memcpy(dst, alt.data(), (size_t)dn);
+                    return dn;
+                }
+                return r;
+            }
+        }
+        return compress_opt_t<int32_t>(wbase, s, src_size, dst, dst_cap,
+                                       level, &workopt);
     }
     if (!c->hc_built && level > 1) {
         c->hc.reset();

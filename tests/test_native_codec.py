@@ -346,6 +346,32 @@ def test_fwd_parse_run_dense_min_of_two(level):
     assert len(comp) <= len(native.compress(data, level=8))
 
 
+@pytest.mark.parametrize("level", [9, 10, 11, 12])
+def test_dict_context_prebuilt_opt_matches_plain(level):
+    """DictContext at the opt levels runs on prebuilt rebased chains
+    (lz4r.cpp Lz4rDictCtx.opt) — outputs must be bit-identical to the
+    plain per-call dict path (the prebuilt inserts stop 8 short of the
+    window end and the working finder's first insert_upto catches up,
+    so the finder state at the first probe is identical)."""
+    rng = np.random.default_rng(55)
+    dict_ = make_compressible(65536, seed=21)
+    ctx = None
+    import plz4_tpu as plz4
+    ctx = plz4.DictContext(dict_)
+    payloads = [
+        make_compressible(1024, seed=100 + i) for i in range(8)
+    ] + [
+        b"\x00" * 5000,  # run-dense: the DP-only routing
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # incompressible
+        dict_[1000:3000],  # pure dict match
+    ]
+    for data in payloads:
+        a = ctx.compress_block(data, level=level)
+        b = native.compress(data, level=level, dict_=dict_)
+        assert a == b
+        assert native.decompress(a, len(data), dict_=dict_) == data
+
+
 @pytest.mark.parametrize("level", [9, 10, 11])
 def test_fwd_parse_tight_cap_returns_none(level):
     """compress_into with an undersized dst fails cleanly (the raw-block
