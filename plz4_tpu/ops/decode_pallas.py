@@ -597,7 +597,7 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     return unpack_words(ow), n_out[0], ok[0] != 0
 
 
-def _decode_kernel_bw(*refs, vals: bool = False, small4: bool = False):
+def _decode_kernel_bw(*refs, vals: bool = False, small_g2: int = 4):
     """Byte-wide decode: one byte per int32 SMEM element, so byte
     loads/stores are single ops with no shift/mask RMW, and — measured on
     chip (tools/tpu_kernel_lab.py addrfold) — constant offsets from one
@@ -788,12 +788,14 @@ def _decode_kernel_bw(*refs, vals: bool = False, small4: bool = False):
         # average need of ~10 B/seq): a SMALL tier sized for the common
         # sequence (lit <= 8, match <= 16: one literal group, prologue +
         # one match group) and the full tier (lit <= 14, match <= 18).
-        # small4: 4-wide second match group (A/B candidate, perf_notes
-        # "4-wide copy groups"): trims 4 of the 16 match copy ops on the
-        # ~92% tier at the cost of shrinking its match cap to ml <= 12
-        # (CDF: ml <= 12 covers 96.2%)
+        # small_g2: width of the second match copy group (8/4/2). 4-wide
+        # trims 4 of the 16 match copy ops on the ~92% tier at the cost
+        # of shrinking its match cap to ml <= 12 (CDF: ml <= 12 covers
+        # 96.2%) — measured +13.5% on chip (65.9 -> 74.8 MB/s, round 3),
+        # now the default. 2-wide (ml <= 10) and 8-wide (ml <= 16) kept
+        # for A/Bs via PLZ4_DEC_SMALLG2.
         gate_small = ((ip + 20 <= clen) & (op + 32 <= Nl) & (op >= 16)
-                      & (lit <= 8) & (mlr <= (8 if small4 else 12)))
+                      & (lit <= 8) & (mlr <= small_g2 + 4))
 
         def fast_small():
             s0 = ip + 1
@@ -819,9 +821,10 @@ def _decode_kernel_bw(*refs, vals: bool = False, small4: bool = False):
             d2 = opl + 8
             o_ref[d2] = o_ref[s2]
             o_ref[d2 + 1] = o_ref[s2 + 1]
-            o_ref[d2 + 2] = o_ref[s2 + 2]
-            o_ref[d2 + 3] = o_ref[s2 + 3]
-            if not small4:  # 8-wide group covers ml <= 16
+            if small_g2 >= 4:  # covers ml <= 12
+                o_ref[d2 + 2] = o_ref[s2 + 2]
+                o_ref[d2 + 3] = o_ref[s2 + 3]
+            if small_g2 >= 8:  # covers ml <= 16
                 o_ref[d2 + 4] = o_ref[s2 + 4]
                 o_ref[d2 + 5] = o_ref[s2 + 5]
                 o_ref[d2 + 6] = o_ref[s2 + 6]
@@ -931,10 +934,10 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
         ob, n_out, ok = pl.pallas_call(
             functools.partial(
                 _decode_kernel_bw, vals=vals,
-                # lab A/B switch (tools/bench_kernels.py): 4-wide second
-                # match group in the small tier; default off pending an
-                # on-chip two-k result
-                small4=bool(os.environ.get("PLZ4_DEC_SMALL4"))),
+                # second match-group width (default 4-wide: measured
+                # +13.5% on chip, 65.9 -> 74.8 MB/s, round-3 two-k A/B,
+                # docs/perf_notes.md); PLZ4_DEC_SMALLG2=8/4/2 for A/Bs
+                small_g2=int(os.environ.get("PLZ4_DEC_SMALLG2", "4"))),
             out_shape=(
                 jax.ShapeDtypeStruct((out_cap + 16,), I32),
                 jax.ShapeDtypeStruct((1,), I32),

@@ -16,6 +16,7 @@ Usage:  python tools/tpu_kernel_lab.py [experiment ...]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -24,6 +25,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 import jax  # noqa: E402
+
+if os.environ.get("PLZ4_LAB_CPU"):
+    # The env var JAX_PLATFORMS alone does NOT displace the preset axon
+    # platform (see CLAUDE.md); the config update does.
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
@@ -1112,8 +1118,8 @@ def exp_vprims():
                 return pl.pallas_call(
                     functools.partial(kern, n_iter=n_iter),
                     out_shape=jax.ShapeDtypeStruct((M,), I32),
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-                    out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 )(x)
             return f
 
@@ -1141,7 +1147,6 @@ def exp_vprims():
         _, v = jax.lax.while_loop(lambda s: s[0] < n_iter, body,
                                   (jnp.int32(0), x_ref[:128]))
         o_ref[:128] = v
-        o_ref[128] = 0
 
     run_case("dyn-roll(128xi32)", k_roll, 1 << 10, 1 << 13, "roll")
 
@@ -1155,7 +1160,7 @@ def exp_vprims():
             return i + 1, acc + 1
         _, acc = jax.lax.while_loop(lambda s: s[0] < n_iter, body,
                                     (jnp.int32(0), jnp.int32(0)))
-        o_ref[0] = acc
+        o_ref[pl.ds(0, 128)] = x_ref[pl.ds(0, 128)] + acc
 
     run_case("dyn-vec-load+store(128xi32)", k_dynvec, 1 << 10, 1 << 13,
              "copy128")
@@ -1185,9 +1190,9 @@ def exp_vprims():
                     out_shape=(jax.ShapeDtypeStruct((4,), I32),
                                jax.ShapeDtypeStruct((M,), I32)),
                     in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                              pl.BlockSpec(memory_space=pltpu.ANY)],
+                              pl.BlockSpec(memory_space=pltpu.VMEM)],
                     out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
-                               pl.BlockSpec(memory_space=pltpu.ANY)),
+                               pl.BlockSpec(memory_space=pltpu.VMEM)),
                 )(xs, xv)
             return f
 
@@ -1248,7 +1253,7 @@ def _decode_vcopy_kernel(c_ref, clen_ref, cv_ref, o_ref, n_out_ref,
         return total, p
 
     def cond(state):
-        return jnp.logical_not(state[3])
+        return state[3] == 0
 
     def body(state):
         ip, op, ok, _ = state
@@ -1334,15 +1339,21 @@ def _decode_vcopy_kernel(c_ref, clen_ref, cv_ref, o_ref, n_out_ref,
                 return 0
 
             jax.lax.cond(m_n > 0, m_copy, lambda _: 0, 0)
-            return ip, op + m_n, bad
+            return ip, op + m_n, bad.astype(I32)
 
-        ip, op, bad = jax.lax.cond(
-            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
-        return ip, op, ok & jnp.logical_not(bad), done | bad
+        # i1 in cond/while carry tuples trips the Mosaic verifier — carry
+        # every flag as i32 (CLAUDE.md hazard note).
+        ip, op, badi = jax.lax.cond(
+            done, lambda ip, op, badi: (ip, op, badi),
+            lambda ip, op, badi: do_match(ip, op, badi != 0),
+            ip, op, bad.astype(I32))
+        ok = jnp.where(badi != 0, 0, ok)
+        return ip, op, ok, (done | (badi != 0)).astype(I32)
 
     ip, op, ok, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
-    ok = ok & (ip == clen)
+        cond, body, (jnp.int32(0), jnp.int32(0),
+                     (clen > 0).astype(I32), (clen <= 0).astype(I32)))
+    ok = (ok != 0) & (ip == clen)
     n_out_ref[0] = op
     ok_ref[0] = ok.astype(I32)
 
@@ -1363,7 +1374,7 @@ def exp_vcopy():
                   blocks[2][:97]]
     comp_np = [native.compress(b) for b in blocks]
     C = BLOCK + 24
-    CPAD = C + VLANE
+    CPAD = ((C + VLANE + VLANE - 1) // VLANE) * VLANE
     NPAD = BLOCK + 2 * VLANE
     nb = len(blocks)
     carr = np.zeros((nb, CPAD), np.uint8)
@@ -1384,8 +1395,8 @@ def exp_vcopy():
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             interpret=interp,
