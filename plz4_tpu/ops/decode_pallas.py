@@ -931,13 +931,19 @@ def decode_block_pallas(comp: jnp.ndarray, clen: jnp.ndarray, out_cap: int,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.reshape(clen.astype(I32), (1,)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        # A value outside {2,4,8} would let gate_small admit match lengths
+        # the fixed copy groups never write (silent corruption); fall back
+        # to the measured default instead.
+        small_g2 = int(os.environ.get("PLZ4_DEC_SMALLG2", "4"))
+        if small_g2 not in (2, 4, 8):
+            small_g2 = 4
         ob, n_out, ok = pl.pallas_call(
             functools.partial(
                 _decode_kernel_bw, vals=vals,
                 # second match-group width (default 4-wide: measured
                 # +13.5% on chip, 65.9 -> 74.8 MB/s, round-3 two-k A/B,
                 # docs/perf_notes.md); PLZ4_DEC_SMALLG2=8/4/2 for A/Bs
-                small_g2=int(os.environ.get("PLZ4_DEC_SMALLG2", "4"))),
+                small_g2=small_g2),
             out_shape=(
                 jax.ShapeDtypeStruct((out_cap + 16,), I32),
                 jax.ShapeDtypeStruct((1,), I32),

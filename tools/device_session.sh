@@ -18,8 +18,8 @@ echo "=== vcopy decode prototype (the ~2x lever) ==="
 timeout 900 python tools/tpu_kernel_lab.py vcopy
 echo "=== bench_kernels baseline ==="
 timeout 900 python tools/bench_kernels.py enc mid dec
-echo "=== decode small4 A/B ==="
-PLZ4_DEC_SMALL4=1 timeout 700 python tools/bench_kernels.py dec
+echo "=== decode small-g2 A/B (8 = pre-round-3 default) ==="
+PLZ4_DEC_SMALLG2=8 timeout 700 python tools/bench_kernels.py dec
 echo "=== mid depth4 A/B ==="
 PLZ4_MID_DEPTH4=1 timeout 700 python tools/bench_kernels.py mid
 echo "=== encode hashtab A/B at 32KB blocks ==="
