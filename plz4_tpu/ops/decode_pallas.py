@@ -360,8 +360,13 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
         return (w >> ((p & 3) * 8)) & 255
 
     def rd_d_word(k):
-        """4 dict bytes starting k positions before the block start."""
-        p = jnp.clip(DB - k, 0, DB - 5)
+        """4 dict bytes starting k positions before the block start.
+
+        k = 4 (a match whose dict portion ends exactly at the boundary)
+        reads the FINAL dict word, p = DB - 4 with sh == 0 — a clip to
+        DB - 5 shifted that read one byte early and corrupted the last
+        word of every boundary-ending match (round-4 gate finding)."""
+        p = jnp.clip(DB - k, 0, DB - 4)
         idx = p >> 2
         sh = (p & 3) * 8
         lo = dw_ref[idx]

@@ -174,6 +174,55 @@ def test_dict_kernel_boundary_fuzz():
         assert np.asarray(out)[: int(n)].tobytes() == data, f"trial {trial}"
 
 
+def test_dict_kernel_boundary_ending_match():
+    """Regression (round 4): a match whose dict portion ends EXACTLY at the
+    dict/block boundary reads the final dict word (k=4) — an over-tight
+    clip in rd_d_word shifted that read one byte early and corrupted the
+    last word of the match. Sweep every word-aligned (off, ml=off) pair on
+    several window sizes, plus the ml<off interiors as controls."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plz4_tpu import native
+
+    def build_block(off, ml, tail):
+        out = bytearray([min(ml - 4, 15)])
+        out += bytes([off & 255, off >> 8])
+        if ml - 4 >= 15:
+            r = ml - 4 - 15
+            while r >= 255:
+                out.append(255)
+                r -= 255
+            out.append(r)
+        out.append(len(tail) << 4)
+        out += tail
+        return bytes(out)
+
+    rng = np.random.default_rng(0xB0DA)
+    for D in (16, 64, 256):
+        dict_ = rng.integers(1, 255, D, dtype=np.uint8).tobytes()
+        dbuf = np.frombuffer(dict_, np.uint8)
+        for off in range(4, D + 1, 4):
+            for ml in (off, max(4, off - 3)):
+                tail = b"QWERT"
+                comp = build_block(off, ml, tail)
+                expect = dict_[D - off : D - off + ml] + tail
+                # independent oracle: the native codec agrees on expect
+                assert native.decompress(comp, len(expect),
+                                         dict_=dict_) == expect
+                N = (len(expect) + 3) & ~3
+                CPAD = (len(comp) + 3) & ~3
+                cb = np.zeros(CPAD, np.uint8)
+                cb[: len(comp)] = np.frombuffer(comp, np.uint8)
+                out, n, ok = decode_pallas.decode_block_pallas_dict(
+                    jnp.asarray(cb), jnp.int32(len(comp)),
+                    jnp.asarray(dbuf), jnp.int32(D), out_cap=N,
+                    interpret=True)
+                assert bool(ok), (D, off, ml)
+                assert np.asarray(out)[: int(n)].tobytes() == expect, \
+                    (D, off, ml)
+
+
 @pytest.mark.parametrize("data_name,seed", [("text", 90), ("mixed", 92)])
 def test_mid_kernel_better_ratio_and_valid(data_name, seed):
     """The depth-2 mid kernel (device levels >= 3) must emit valid streams
