@@ -55,6 +55,11 @@ struct CfStats {
     uint64_t seeded = 0;      // find() calls entered with a carried seed
     double pass1_s = 0.0;     // opt parse: match-finder pass seconds
     double pass2_s = 0.0;     // opt parse: DP pass seconds
+    // dense pass-1 diagnostics for the sparse schedule: improvements
+    // (l > seed) at covered positions, bucketed by distance from the
+    // carry anchor (exact 1..15, then log2), with the length gained
+    uint64_t imp_d_cnt[32] = {};
+    uint64_t imp_d_gain[32] = {};
 };
 inline CfStats g_cfstats;
 #define PLZ4_STAT(expr) (void)(expr)
@@ -444,6 +449,129 @@ struct ChainFinder {
         uint8_t b = 0;
     };
     Fit fit;
+
+    // Coverage-extension scan (the sparse pass-1 scheduler's one find
+    // primitive; see compress_opt_t). Every match that starts at or
+    // before j and ends PAST the coverage end E = j + gram - 1 contains
+    // the primary gram at j, so one budgeted newest-first walk of j's
+    // hash chain enumerates every longer-ending candidate family for the
+    // whole coverage region at once. Occurrences are byte-verified, then
+    // extended backward (b) and forward (f): the family is the match
+    // [j-b, j+gram+f) at offset j - q, valid at every start position in
+    // [j-b, j). Returns the best family by b + f coverage, or false.
+    // Original design — no reference analog: upstream reaches covered
+    // positions from inside its forward price-table loop instead
+    // (lz4hc.c:1929-1935).
+    // A family is the maximal match [j - b, j + gram + f) at offset
+    // j - q. At any start position the covering family with the largest
+    // END dominates (LZ4 offsets price flat), so only the Pareto frontier
+    // over (b, f) matters — kept small and sorted by descending f.
+    struct ExtFam {
+        uint32_t q;
+        int32_t b, f;
+    };
+    static constexpr int EXT_FAMS = 4;
+    int extend_scan(uint32_t j, const uint8_t* matchlimit, int budget,
+                    uint32_t inserted_upto, ExtFam* out) const {
+        const uint8_t* jp = wbase + j;
+        uint32_t lowest = j > MAX_DISTANCE ? j - MAX_DISTANCE : 0;
+        if (lowest < floor_pos) lowest = floor_pos;
+        int nf = 0;
+        // The zone [inserted_upto, j) is ahead of the chain inserts, so
+        // small-offset occurrences (log-like near repeats — the dominant
+        // beater class on mixed corpora) are invisible to the chain walk.
+        // Sweep it linearly, nearest-first; it is bounded by the carry
+        // (< skip_len) so this is a few hundred word compares at most.
+        if (inserted_upto < j) {
+            uint32_t zlo = std::max(inserted_upto, lowest);
+            uint32_t first4 = read32(jp);
+            int zbudget = budget;
+            for (uint32_t q = j; q-- > zlo && zbudget > 0;) {
+                if (read32(wbase + q) != first4 ||
+                    std::memcmp(wbase + q + 4, jp + 4,
+                                (size_t)(gram - 4)) != 0)
+                    continue;
+                --zbudget;
+                PLZ4_STAT(++g_cfstats.steps);
+                int f = count_match(jp + gram, wbase + q + gram,
+                                    matchlimit);
+                int bcap = (int)std::min(q - lowest, j - floor_pos);
+                int b = 0;
+                while (b < bcap && jp[-b - 1] == wbase[q - (uint32_t)b - 1])
+                    ++b;
+                bool dominated = false;
+                for (int k = 0; k < nf; ++k)
+                    if (out[k].f >= f && out[k].b >= b) {
+                        dominated = true;
+                        break;
+                    }
+                if (!dominated) {
+                    int w = 0;
+                    for (int k = 0; k < nf; ++k)
+                        if (!(out[k].f <= f && out[k].b <= b))
+                            out[w++] = out[k];
+                    nf = w;
+                    int k = 0;
+                    while (k < nf && out[k].f > f) ++k;
+                    if (nf < EXT_FAMS) {
+                        for (int r = nf; r > k; --r) out[r] = out[r - 1];
+                        out[k] = ExtFam{q, b, f};
+                        ++nf;
+                    } else if (k < EXT_FAMS) {
+                        for (int r = EXT_FAMS - 1; r > k; --r)
+                            out[r] = out[r - 1];
+                        out[k] = ExtFam{q, b, f};
+                    }
+                }
+            }
+        }
+        uint32_t cand = head[hashp(jp)];
+        while (cand > lowest && budget-- > 0) {
+            uint32_t q = cand - 1;
+            if (q < j && j - q <= MAX_DISTANCE &&
+                std::memcmp(wbase + q, jp, (size_t)gram) == 0) {
+                PLZ4_STAT(++g_cfstats.steps);
+                int f = count_match(jp + gram, wbase + q + gram,
+                                    matchlimit);
+                int bcap = (int)std::min(q - lowest, j - floor_pos);
+                int b = 0;
+                while (b < bcap && jp[-b - 1] == wbase[q - (uint32_t)b - 1])
+                    ++b;
+                // Pareto insert, sorted by f descending. Newest-first
+                // walk => an equal (b, f) already held has the nearer
+                // offset; treat it as dominating.
+                bool dominated = false;
+                for (int k = 0; k < nf; ++k)
+                    if (out[k].f >= f && out[k].b >= b) {
+                        dominated = true;
+                        break;
+                    }
+                if (!dominated) {
+                    int w = 0;  // drop entries the new family dominates
+                    for (int k = 0; k < nf; ++k)
+                        if (!(out[k].f <= f && out[k].b <= b))
+                            out[w++] = out[k];
+                    nf = w;
+                    int k = 0;
+                    while (k < nf && out[k].f > f) ++k;
+                    if (nf < EXT_FAMS) {
+                        for (int r = nf; r > k; --r) out[r] = out[r - 1];
+                        out[k] = ExtFam{q, b, f};
+                        ++nf;
+                    } else if (k < EXT_FAMS) {
+                        // full: keep the larger-f prefix, drop the tail
+                        for (int r = EXT_FAMS - 1; r > k; --r)
+                            out[r] = out[r - 1];
+                        out[k] = ExtFam{q, b, f};
+                    }
+                }
+            }
+            uint16_t d = chain[q & 0xFFFF];
+            if (!d) break;
+            cand -= d;
+        }
+        return nf;
+    }
 
     // Exact pattern-fit option at position p (0 = none). Bounds hold by
     // construction: re + tail <= matchlimit was established by the probe
@@ -1427,6 +1555,10 @@ struct OptParams {
                         // interleaved with many short same-byte runs
                         // otherwise enumerates every run segment in the
                         // window at every run-adjacent position
+    int scan_budget;    // sparse pass-1: extend_scan candidates per
+                        // coverage end (L11's thin margins need deeper
+                        // walks; L9-10's +3-27 KB margins do not) —
+                        // PLZ4_SPARSE_SCANB overrides for lab sweeps
 };
 // Defaults picked by tools/sweep_opt_budget.py (2026-08-18, post
 // head-entry-swap walk): the fastest config per level whose size deltas
@@ -1436,21 +1568,20 @@ struct OptParams {
 // +20-27 KB margins for 1.7x speed.
 inline OptParams g_opt_params[13] = {
     // levels 0-8 route to greedy/HC, entries unused but keep indexing flat
-    {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0},
-    {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0}, {0, 0, 0, 0, 0},
-    {0, 0, 0, 0, 0},
+    {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0},
+    {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0},
+    {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0}, {0, 0, 0, 0, 0, 0},
     // pa_budget: capped at 9-10 (margins absorb the approximation, and
     // run-dense text otherwise enumerates every window segment per
     // find); UNCAPPED at 11-12 where silesia-class margins are 0-629
     // bytes (a 192/1024 cap measured -538/-612 there)
-    // 9-10 run the forward plateau parse (compress_opt_fwd; the DP joins
-    // in on run-dense blocks via the dispatcher's min-of-two) — re-swept
-    // 2026-08-18 after the parse switch: suff 512 prices more matches
-    // in-table for free (the plateau skip carries the speed)
-    {96, 512, 256, 96, 32},            // 9
-    {96, 512, 256, 96, 192},           // 10
-    {2048, 512, 256, 2048, 1 << 30},   // 11
-    {16384, 4095, 1024, 16384, 1 << 30},  // 12
+    // 9-10 run the sparse pass-1 probe schedule (run-dense blocks route
+    // to the dense scan in the dispatcher); suff 512 keeps more matches
+    // below the valve so their full lengths reach the DP
+    {96, 512, 256, 96, 32, 48},             // 9
+    {96, 512, 256, 96, 192, 64},            // 10
+    {2048, 512, 256, 2048, 1 << 30, 256},   // 11
+    {16384, 4095, 1024, 16384, 1 << 30, 0},  // 12 (dense everywhere)
 };
 
 // test-only introspection sink for the optimal parse (lz4r_opt_debug)
@@ -1499,219 +1630,73 @@ inline ChainFinder& acquire_opt_finder(const uint8_t* wbase,
 }
 
 // ---------------------------------------------------------------------------
-// Forward optimal parse with price-plateau search skip — levels 9-10.
+// Sparse-probe scheduling for the optimal parse's match scan — levels 9-10
+// (and large-block 11).
 //
-// Reference analog: LZ4HC_compress_optimal (lz4hc.c:1823): the same
-// anchor-chunked forward price table with its two speed devices — skip
-// the search wherever the price table already knows an equal-or-cheaper
-// continuation (lz4hc.c:1929), and encode immediately above
-// sufficient_len — rebuilt here on the 6-gram finder, run summaries and
-// exact wire prices. The backward-exact DP (compress_opt_t below) keeps
-// levels 11-12, where the contract margins vs upstream are 0-629 bytes
-// and exactness is what wins them; at 9-10 the DP's +20-27 KB margins
-// fund this parse's small approximation for 3-5x speed — the trade the
-// round-2/3 budget sweeps could not reach with walk budgets alone
-// (walks end structurally far below every budget; see perf_notes
-// "Budget knobs no longer move L9/L10 speed").
+// The DP below is exact over whatever candidate set pass 1 hands it, and
+// at L9-10 pass 1's one-find-per-position scan IS the cost (measured
+// 0.77 s/rep vs pass 2's 0.24 on 4 MiB text; budget knobs don't move it
+// because walks end structurally far below every budget). The fix is to
+// search at FEWER positions, chosen from this codec's own cost model:
+//
+//   LZ4 prices every offset at a flat 2 bytes, so a candidate match is
+//   characterized for pricing purely by its length — and the DP's g-loop
+//   already prices every sub-length of each candidate. A position i
+//   covered by a known match M = (start a, len L, off o) therefore
+//   inherits the candidate (L - (i-a), o), whose sub-lengths span every
+//   match-shaped edge a fresh find could add UNLESS the fresh match ends
+//   beyond M's end. Searching at a covered position is useful exactly
+//   when it would discover a longer-ending match.
+//
+// And that event CAN be detected without per-position searching: every
+// match that ends past the coverage end E contains the primary gram
+// ending at E + 1 (unless it starts within the last gram-1 bytes of
+// coverage). So the schedule is event-driven on coverage ends:
+//   * uncovered positions (no inherited candidate) — full finds;
+//   * per coverage-end value, ONE budgeted walk of the END-GRAM's hash
+//     chain (ChainFinder::extend_scan) enumerates every longer-ending
+//     candidate family — at any interior start position, any offset —
+//     back/forward-extending each byte-verified occurrence;
+//   * a TAIL WINDOW of width gram-5 covers the only start positions the
+//     end-gram cannot witness.
+// Covered positions themselves record the inherited candidate and cost
+// one chain insert. Relative to the dense scan this loses only what the
+// scan budget or the u16 chain-delta saturation hides — the same
+// concessions find() itself makes. Levels 11-12 at engine block sizes
+// keep the dense scan: their margins vs upstream are 0-629 bytes and
+// exactness wins them.
+//
+// Reference analog (to match, not mirror): upstream reaches a similar
+// find-count reduction from inside its forward price-table search via a
+// price-plateau test (LZ4HC_compress_optimal, lz4hc.c:1823). This
+// schedule has no price table and no forward table at all: it keys on
+// coverage geometry, discovers interior candidates through the end-gram
+// index, and leaves all pricing to the backward DP, whose window-minima
+// machinery this codec already owns.
 // ---------------------------------------------------------------------------
-struct FwdOpt {
-    int32_t price;
-    int32_t off;
-    int32_t mlen;  // 1 = literal
-    int32_t litlen;
-};
-constexpr int FWD_OPT_NUM = 1 << 12;
-constexpr int FWD_TRAIL = 3;
-
-inline int lit_price(int n) { return n + llext_price(n); }
-inline int seq_price(int ll, int ml) {
-    // token + 2-byte offset + literals and their extension + ml extension
-    return 3 + ll + llext_price(ll) + mlext_price(ml);
+// Schedule parameters (lab-tunable via env for tools/sweep_opt_budget.py
+// style A/Bs; production never sets them, so shipped behavior is the
+// defaults):
+//   SPARSE_TAIL  — tail-window width: full probes while the remaining
+//                  carry is below MINMATCH + TAIL. Completeness needs
+//                  TAIL >= gram - 5 (a match starting within the last
+//                  gram-1 bytes of coverage can end past E without
+//                  containing the end-gram); 1 for the default 6-gram.
+//   SPARSE_SCANB — extend_scan candidate budget per coverage end.
+inline int sparse_env(const char* name, int dflt, int lo, int hi) {
+    const char* e = std::getenv(name);
+    if (!e) return dflt;
+    int v = std::atoi(e);
+    return v < lo ? lo : v > hi ? hi : v;
 }
-
-// Returns compressed size, 0 on dst overflow. Caller guarantees
-// src_size < 2^28 (int32 prices); larger raw inputs route to the DP.
-// *esc_bytes (optional) reports how many input bytes the immediate-encode
-// escapes covered — the dispatcher's run-density signal.
-int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
-                     uint8_t* dst, int dst_cap, int level,
-                     int* esc_bytes = nullptr, ChainFinder* ext = nullptr) {
-    int esc_acc = 0;
-    if (src_size < 0 || dst_cap <= 0) return -1;
-    uint8_t* op = dst;
-    uint8_t* const oend = dst + dst_cap;
-    if (src_size == 0) {
-        *op++ = 0;
-        return (int)(op - dst);
-    }
-    const uint8_t* const iend = src + src_size;
-    const uint8_t* const mflimit = iend - MFLIMIT;
-    const uint8_t* const matchlimit = iend - LASTLITERALS;
-    if (src_size < MFLIMIT + 1) {
-        op = emit_last_literals(op, oend, src, src_size);
-        return op ? (int)(op - dst) : 0;
-    }
-    const OptParams& prm = g_opt_params[level > 12 ? 12 : level];
-    const int attempts = prm.attempts;
-    int sufficient = prm.sufficient;
-    if (sufficient >= FWD_OPT_NUM) sufficient = FWD_OPT_NUM - 1;
-    const int pa_cap = prm.pa_budget;
-
-    ChainFinder& cf = ext ? *ext : acquire_opt_finder(wbase, src, iend);
-
-    static thread_local std::vector<FwdOpt> opt_v;
-    if ((int)opt_v.size() < FWD_OPT_NUM + FWD_TRAIL + 1)
-        opt_v.resize(FWD_OPT_NUM + FWD_TRAIL + 1);
-    FwdOpt* const opt = opt_v.data();
-
-    const uint8_t* ip = src;
-    const uint8_t* anchor = src;
-
-    while (ip <= mflimit) {
-        int llen = (int)(ip - anchor);
-        const uint8_t* m0 = nullptr;
-        int l0 = cf.find(ip, matchlimit, attempts, &m0, sufficient, 0, 0,
-                         pa_cap);
-        if (l0 < MINMATCH) {
-            ++ip;
-            continue;
-        }
-        if (l0 >= sufficient) {
-            // good enough: immediate encoding. The valve may have stopped
-            // the walk at a same-offset-extendable length — extend
-            // maximally first (upstream's heuristic emitters always do)
-            l0 += count_match(ip + l0, m0 + l0, matchlimit);
-            esc_acc += l0;
-            op = emit_sequence(op, oend, anchor, llen, (uint32_t)(ip - m0),
-                               l0);
-            if (!op) return 0;
-            ip += l0;
-            anchor = ip;
-            continue;
-        }
-        // price table over positions relative to ip; litlen counts the
-        // pending literal run INCLUDING the llen bytes before the chunk
-        // (extension-byte breakpoints depend on the total)
-        for (int r = 0; r < MINMATCH; ++r)
-            opt[r] = FwdOpt{lit_price(llen + r), 0, 1, llen + r};
-        for (int ml = MINMATCH; ml <= l0; ++ml)
-            opt[ml] =
-                FwdOpt{seq_price(llen, ml), (int32_t)(ip - m0), ml, llen};
-        int last_match_pos = l0;
-        for (int t = 1; t <= FWD_TRAIL; ++t)
-            opt[last_match_pos + t] =
-                FwdOpt{opt[last_match_pos].price + lit_price(t), 0, 1, t};
-
-        int best_mlen = 0, best_off = 0, cur;
-        bool escape = false;
-        for (cur = 1; cur < last_match_pos; ++cur) {
-            const uint8_t* cp = ip + cur;
-            if (cp > mflimit) break;
-            // price-plateau search skip: if the next position already
-            // continues at the same or lower price — and even a minimal
-            // sequence from here could not beat it — searching here
-            // cannot improve the path
-            if (opt[cur + 1].price <= opt[cur].price &&
-                opt[cur + MINMATCH].price < opt[cur].price + 3)
-                continue;
-            const uint8_t* m1 = nullptr;
-            int l1 = cf.find(cp, matchlimit, attempts, &m1, sufficient, 0,
-                             0, pa_cap);
-            if (l1 < MINMATCH) continue;
-            if (l1 >= sufficient || cur + l1 >= FWD_OPT_NUM) {
-                // long match mid-table: encode the chosen path to cur,
-                // then this match (the reference's immediate-encoding
-                // escape — best path to cur is already in opt[cur]);
-                // extend past a valve stop first
-                l1 += count_match(cp + l1, m1 + l1, matchlimit);
-                esc_acc += l1;
-                best_mlen = l1;
-                best_off = (int)(cp - m1);
-                last_match_pos = cur + 1;
-                escape = true;
-                break;
-            }
-            {   // literal extensions from cur (1..3; longer runs are
-                // re-derived at later cur positions)
-                int base_ll = opt[cur].litlen;
-                for (int lit = 1; lit < MINMATCH; ++lit) {
-                    int price = opt[cur].price - lit_price(base_ll) +
-                                lit_price(base_ll + lit);
-                    int pos = cur + lit;
-                    if (price < opt[pos].price)
-                        opt[pos] = FwdOpt{price, 0, 1, base_ll + lit};
-                }
-            }
-            {   // match prices from cur
-                int off1 = (int)(cp - m1);
-                for (int ml = MINMATCH; ml <= l1; ++ml) {
-                    int pos = cur + ml;
-                    int ll, price;
-                    if (opt[cur].mlen == 1) {
-                        ll = opt[cur].litlen;
-                        price = (cur > ll ? opt[cur - ll].price : 0) +
-                                seq_price(ll, ml);
-                    } else {
-                        ll = 0;
-                        price = opt[cur].price + seq_price(0, ml);
-                    }
-                    // beyond last_match_pos+trail the slots are stale
-                    // from an earlier chunk: overwrite unconditionally
-                    if (pos > last_match_pos + FWD_TRAIL ||
-                        price <= opt[pos].price) {
-                        if (ml == l1 && last_match_pos < pos)
-                            last_match_pos = pos;
-                        opt[pos] = FwdOpt{price, off1, ml, ll};
-                    }
-                }
-            }
-            for (int t = 1; t <= FWD_TRAIL; ++t)
-                opt[last_match_pos + t] =
-                    FwdOpt{opt[last_match_pos].price + lit_price(t), 0, 1,
-                           t};
-        }
-        if (!escape) {
-            best_mlen = opt[last_match_pos].mlen;
-            best_off = opt[last_match_pos].off;
-            cur = last_match_pos - best_mlen;
-        }
-        {   // reverse-chain the chosen path onto opt[] so it can be
-            // emitted front-to-back
-            int pos = cur;
-            int sel_ml = best_mlen, sel_off = best_off;
-            for (;;) {
-                int next_ml = opt[pos].mlen;
-                int next_off = opt[pos].off;
-                opt[pos].mlen = sel_ml;
-                opt[pos].off = sel_off;
-                sel_ml = next_ml;
-                sel_off = next_off;
-                if (next_ml > pos) break;  // chunk head reached
-                pos -= next_ml;
-            }
-        }
-        {   // emit the recorded sequences in order (literal slots just
-            // extend the pending run)
-            int r = 0;
-            while (r < last_match_pos) {
-                if (opt[r].mlen == 1) {
-                    ++r;
-                    ++ip;
-                    continue;
-                }
-                int ml = opt[r].mlen;
-                op = emit_sequence(op, oend, anchor, (int)(ip - anchor),
-                                   (uint32_t)opt[r].off, ml);
-                if (!op) return 0;
-                ip += ml;
-                anchor = ip;
-                r += ml;
-            }
-        }
-    }
-    op = emit_last_literals(op, oend, anchor, (int)(iend - anchor));
-    if (esc_bytes) *esc_bytes = esc_acc;
-    return op ? (int)(op - dst) : 0;
+inline int sparse_tail() {
+    static const int v = sparse_env("PLZ4_SPARSE_TAIL", 1, 0, 64);
+    return v;
+}
+inline int sparse_scanb() {
+    // -1 = use the per-level OptParams::scan_budget default
+    static const int v = sparse_env("PLZ4_SPARSE_SCANB", -1, -1, 1 << 20);
+    return v;
 }
 
 // CostT: int32 for blocks under 2^28 (the engine's blocks are <= 4 MiB) —
@@ -1719,7 +1704,7 @@ int compress_opt_fwd(const uint8_t* wbase, const uint8_t* src, int src_size,
 // sizes exact. Costs are bounded by n + n/255 + O(1), and every derived
 // key (g+j, g+j+j/255) by ~2.01n + n/255, so int32 holds them for
 // n < 2^28 with INF = 2^30 headroom.
-template <typename CostT>
+template <typename CostT, bool SPARSE = false>
 int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                    uint8_t* dst, int dst_cap, int level,
                    ChainFinder* ext = nullptr) {
@@ -1834,8 +1819,28 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // exactly mlpos - pos).
         int prun_end = -1;
         uint8_t prun_b = 0;
+#ifdef PLZ4_STATS
+        // dense-mode diagnostic: distance from the last improvement
+        int anchor = -(1 << 30);
+#endif
+        const int sp_tail = SPARSE ? sparse_tail() : 0;
+        const int sp_scanb =
+            SPARSE ? (sparse_scanb() > 0 ? sparse_scanb() : prm.scan_budget)
+                   : 0;
+        // coverage end already served by extend_scan (one scan per E)
+        uint32_t escan_E = 0;
+        const uint32_t src_pos0 = (uint32_t)(src - cf.wbase);
+        const uint32_t end_pos = (uint32_t)(iend - cf.wbase);
         for (int i = 0; i + MFLIMIT <= n; ++i) {
             const uint8_t* ip = src + i;
+            if constexpr (SPARSE) {
+                // adopt a staged family start (written by an extend_scan
+                // whose family began ahead of the position that ran it)
+                if (mlen[i] > carry_len) {
+                    carry_len = mlen[i];
+                    carry_off = moff[i];
+                }
+            }
             if (carry_len > 64 && carry_off > 8) {
                 // A fresh byte-run can START under a carried far match, and
                 // its off=1 self-match (spanning the whole run, including
@@ -1888,6 +1893,143 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                 --carry_len;
                 continue;
             }
+            if constexpr (SPARSE) {
+                // Coverage-extension scheduling (see the block comment
+                // above this function). Covered positions do NO per-
+                // position finds: one extend_scan per coverage-end value
+                // enumerates every longer-ending candidate for the whole
+                // region; a tail window of width gram-5 keeps the only
+                // start positions the end-gram cannot witness.
+                // Run-entry probe: a fresh byte-run can start under a
+                // SHORT carry too (the far-carry probe above requires
+                // carry > 64), and a run-start position covered by a
+                // dying 4-5 byte tail otherwise never sees a find — the
+                // far in-window run match (PaSum answers it in O(1)) was
+                // the dominant residual vs the dense scan on silesia-like
+                // mixed corpora. One read32 per covered position, fires
+                // once per run.
+                bool run_entry =
+                    carry_len >= MINMATCH + sp_tail && i > 0 &&
+                    read32(ip) == 0x01010101u * ip[0] && ip[-1] != ip[0];
+                if (!run_entry && carry_len >= MINMATCH + sp_tail) {
+                    uint32_t pos = (uint32_t)(ip - cf.wbase);
+                    uint32_t E = pos + (uint32_t)carry_len;  // coverage end
+                    if (E != escan_E) {
+                        escan_E = E;
+                        uint32_t j = E + 1 - (uint32_t)cf.gram;
+                        // A byte-uniform end-gram means E+1 sits inside a
+                        // byte run: redirect the scan to the RUN-ENTRY
+                        // gram (last text byte + run prefix) — every
+                        // text->run crossing match that ends past E
+                        // contains it. Pure in-run starts stay with the
+                        // run machinery above. Without this redirect the
+                        // dominant silesia-class beaters (matches
+                        // extending deep into zero runs) were invisible
+                        // (measured -3.7 KB at L11 on silesia-like 4 MiB).
+                        if (j + 8 <= end_pos) {
+                            const uint8_t* jp0 = cf.wbase + j;
+                            uint32_t g4 = read32(jp0);
+                            if (g4 == 0x01010101u * (uint8_t)g4 &&
+                                jp0[4] == (uint8_t)g4 &&
+                                (cf.gram < 6 || jp0[5] == (uint8_t)g4) &&
+                                (cf.gram < 7 || jp0[6] == (uint8_t)g4)) {
+                                const uint8_t* lb2 =
+                                    cf.low_base < jp0 - 65536 ? jp0 - 65536
+                                                              : cf.low_base;
+                                int rb = count_run_bwd(jp0, lb2,
+                                                       (uint8_t)g4);
+                                // j - rb = run start; the boundary gram
+                                // starts one text byte before it
+                                if ((uint32_t)rb + 1 <= j - cf.floor_pos)
+                                    j = j - (uint32_t)rb - 1;
+                                else
+                                    j = 0;  // no in-window text byte
+                            }
+                        }
+                        if (j > 0 && j + 8 <= end_pos) {
+                            const uint8_t* jp = cf.wbase + j;
+                            uint32_t g4 = read32(jp);
+                            if (g4 != 0x01010101u * (uint8_t)g4) {
+                                ChainFinder::ExtFam
+                                    fams[ChainFinder::EXT_FAMS];
+                                int nf = cf.extend_scan(j, matchlimit,
+                                                        sp_scanb,
+                                                        cf.next_insert,
+                                                        fams);
+                                const int64_t ml_pos =
+                                    (int64_t)(matchlimit - cf.wbase);
+                                for (int k = 0; k < nf; ++k) {
+                                    int off = (int)(j - fams[k].q);
+                                    int b = fams[k].b;
+                                    // j + gram = E + 1 may sit one past
+                                    // the matchlimit (E is itself bounded
+                                    // by it); clamp so no emitted match
+                                    // can end in the LASTLITERALS region
+                                    int64_t endp =
+                                        (int64_t)j + cf.gram + fams[k].f;
+                                    if (endp > ml_pos) endp = ml_pos;
+                                    if (endp <= (int64_t)E &&
+                                        (int64_t)j - b > (int64_t)pos)
+                                        continue;  // fully dominated
+                                    if (pos >= j - (uint32_t)b &&
+                                        j >= (uint32_t)b) {
+                                        // family covers the cursor: extend
+                                        // the carry (inheritance fills
+                                        // onward) and upgrade positions
+                                        // already passed
+                                        int Lh =
+                                            (int)(endp - (int64_t)pos);
+                                        if (Lh > carry_len) {
+                                            carry_len = Lh;
+                                            carry_off = off;
+                                        }
+                                        int t0 = (int)((int64_t)j - b -
+                                                       (int64_t)src_pos0);
+                                        if (t0 < 0) t0 = 0;
+                                        int t1 = i;
+                                        int64_t tcap = endp - MINMATCH -
+                                                       (int64_t)src_pos0 + 1;
+                                        if (t1 > tcap) t1 = (int)tcap;
+                                        for (int t = t0; t < t1; ++t) {
+                                            int32_t L = (int32_t)(
+                                                endp -
+                                                (int64_t)(src_pos0 +
+                                                          (uint32_t)t));
+                                            if (L > mlen[t]) {
+                                                mlen[t] = L;
+                                                moff[t] = off;
+                                            }
+                                        }
+                                    } else {
+                                        // future-only family: stage its
+                                        // first start for the adopt step.
+                                        // Match starts are only legal at
+                                        // i <= n - MFLIMIT (the pass-1
+                                        // loop bound pass 2 relies on).
+                                        int tf = (int)((int64_t)(j - b) -
+                                                       (int64_t)src_pos0);
+                                        int32_t L = (int32_t)(
+                                            endp - (int64_t)(j - b));
+                                        if (tf >= 0 && tf + MFLIMIT <= n &&
+                                            L >= MINMATCH &&
+                                            L > mlen[tf]) {
+                                            mlen[tf] = L;
+                                            moff[tf] = off;
+                                        }
+                                    }
+                                }
+                            }
+                        }
+                    }
+                    if (carry_len >= MINMATCH + sp_tail) {
+                        cf.insert_upto(ip + 1);
+                        mlen[i] = carry_len;
+                        moff[i] = carry_off;
+                        --carry_len;
+                        continue;
+                    }
+                }
+            }
             const uint8_t* match = nullptr;
             // carried tail seeds the search: the boundary filter rejects
             // non-improving candidates in ~2 loads, so re-searching inside
@@ -1902,6 +2044,19 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
                 cur_sat = l > carry_len ? attempts
                                         : std::max(seed_att, cur_sat >> 1);
             if (l >= MINMATCH) {
+#ifdef PLZ4_STATS
+                if (!SPARSE && seeded && l > carry_len) {
+                    int d = i - anchor;
+                    int b = d >= 1 && d <= 15
+                                ? d
+                                : 16 + (31 - __builtin_clz(d > 0 ? d : 1));
+                    if (b > 31) b = 31;
+                    ++g_cfstats.imp_d_cnt[b];
+                    g_cfstats.imp_d_gain[b] += (uint64_t)(l - carry_len);
+                }
+                if (!SPARSE && l > carry_len)
+                    anchor = i;  // keep d meaningful for the dense histogram
+#endif
                 mlen[i] = l;
                 moff[i] = (int32_t)(ip - match);
                 carry_len = l - 1;
@@ -2107,34 +2262,29 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
 
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
-    // Levels 9-10: forward plateau parse (see compress_opt_fwd) — the
-    // speed/ratio point between the HC chain parse (<= 8) and the
-    // backward-exact DP (11-12). PLZ4_OPT_FWD=0 forces the DP at every
-    // level (sweeps, A/Bs); int32 prices bound the fwd parse to
-    // src_size < 2^28 (larger raw inputs take the DP's int64 path).
-    // PLZ4_OPT_FWD: "0" = backward DP at every level (sweeps, A/Bs);
-    // otherwise the highest level the forward parse serves (default 11 —
-    // L12's byte-exact ties with upstream need the DP everywhere)
-    static const int fwd_max = [] {
+    // Levels 9-10 (and L11 blocks > 1 MiB): the DP with SPARSE pass-1
+    // probe scheduling — the speed/ratio point between the HC chain
+    // parse (<= 8) and the dense-scan DP (11-12). Small L11 blocks and
+    // L12 keep the dense scan: their margins vs upstream are 0-629 bytes
+    // and the full per-position scan is what wins them.
+    // PLZ4_OPT_FWD: "0" = dense scan at every level (sweeps, A/Bs);
+    // otherwise the highest level the sparse schedule serves (default 11;
+    // the historical name is kept — it has always meant "fast-parse
+    // ceiling" to the lab tools).
+    static const int sparse_max = [] {
         const char* e = std::getenv("PLZ4_OPT_FWD");
         if (!e) return 11;
         int v = std::atoi(e);
         return v <= 0 ? 0 : v > 11 ? 11 : v;
     }();
-    // Level 11 blocks <= 1 MiB take the DP directly: upstream's L11
-    // margins on small text blocks are a few bytes, which only the DP
-    // holds, and running both parses to take the min would halve the
-    // common 64 KiB-block engine path. Large L11 blocks keep the fwd
-    // parse (its 4 MiB margins are +537..+2812 vs upstream).
-    const bool fwd_ok =
-        level <= fwd_max && (level <= 10 || src_size > (1 << 20));
-    if (fwd_ok && src_size < (1 << 28)) {
-        // Run-dominated blocks go straight to the DP: the min-of-two
-        // below picks the DP's bytes there anyway (measured: fwd never
-        // wins on >50%-run content), so running the fwd parse first is
-        // pure overhead. 128 sampled positions estimate the byte-run
-        // fraction; a wrong guess only trades speed between two
-        // contract-safe parses, never size below the DP's.
+    const bool sparse_ok =
+        level <= sparse_max && (level <= 10 || src_size > (1 << 20));
+    if (sparse_ok && src_size < (1 << 28)) {
+        // Run-dominated blocks take the dense scan: PaSum answers in-run
+        // finds in O(1) there (the scan is NOT the bottleneck), and the
+        // dense DP's run handling is already measured at full margin.
+        // 128 sampled positions estimate the byte-run fraction; a wrong
+        // guess only trades speed between two contract-safe parses.
         if (src_size >= 4096) {
             int uniform = 0;
             int stride = src_size / 128;
@@ -2147,33 +2297,8 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                 return compress_opt_t<int32_t>(wbase, src, src_size, dst,
                                                dst_cap, level);
         }
-        int esc = 0;
-        int r = compress_opt_fwd(wbase, src, src_size, dst, dst_cap, level,
-                                 &esc);
-        // Run-dense blocks (immediate-encode escapes covering > 30% of
-        // the input): the plateau parse forfeits the DP's breakpoint
-        // trimming around long matches, and the DP is FAST on exactly
-        // this class (run summaries + dp windows) — run it too and keep
-        // the smaller encoding. min(fwd, DP) <= DP everywhere, so the
-        // size contract is never weaker than the DP's. The DP gets
-        // cap r: if it cannot even fit in the fwd output's size, it is
-        // not smaller.
-        if (r > 0 && (int64_t)esc * 10 <= (int64_t)src_size * 3) return r;
-        static thread_local std::vector<uint8_t> alt;
-        if (r > 0) {
-            // emitters require wild-copy slack beyond the true output —
-            // a cap of exactly r would abort the DP on near-ties
-            int cap = r + 64;
-            if ((int)alt.size() < cap) alt.resize(cap);
-            int dn = compress_opt_t<int32_t>(wbase, src, src_size,
-                                             alt.data(), cap, level);
-            if (dn > 0 && dn < r) {
-                std::memcpy(dst, alt.data(), (size_t)dn);
-                return dn;
-            }
-            return r;
-        }
-        // fwd overflowed dst_cap: the DP decides alone
+        return compress_opt_t<int32_t, /*SPARSE=*/true>(
+            wbase, src, src_size, dst, dst_cap, level);
     }
     // int32 costs for every realistic block; exact int64 fallback for
     // giant raw-API inputs (>= 2^28, where int32 keys could overflow).
@@ -2678,9 +2803,9 @@ LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
     if (level >= 9) {
         // Opt levels: prebuilt opt-gram chains rebased per record (the
         // old per-record window re-insert measured 1.6-1.8 MB/s on 1 KiB
-        // records). Routing mirrors compress_opt's dispatcher, except
-        // the min-of-two DP re-run takes a FRESH prebuilt copy (the fwd
-        // pass's inserts cannot be retracted from a shared finder).
+        // records). Routing mirrors compress_opt's dispatcher: sparse
+        // pass-1 scheduling at 9-10 off run-dense records, dense scan
+        // otherwise.
         if (!c->opt_built) {
             c->opt.set_gram(opt_gram());
             c->opt.reset();
@@ -2712,27 +2837,9 @@ LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
             }
             rundense = uniform > 64;
         }
-        if (level <= 10 && !rundense) {
-            int esc = 0;
-            int r = compress_opt_fwd(wbase, s, src_size, dst, dst_cap,
-                                     level, &esc, &workopt);
-            if (r > 0 && (int64_t)esc * 10 <= (int64_t)src_size * 3)
-                return r;
-            c->opt.copy_into(workopt, wbase);
-            if (r > 0) {
-                static thread_local std::vector<uint8_t> alt;
-                int cap = r + 64;
-                if ((int)alt.size() < cap) alt.resize(cap);
-                int dn = compress_opt_t<int32_t>(wbase, s, src_size,
-                                                 alt.data(), cap, level,
-                                                 &workopt);
-                if (dn > 0 && dn < r) {
-                    std::memcpy(dst, alt.data(), (size_t)dn);
-                    return dn;
-                }
-                return r;
-            }
-        }
+        if (level <= 10 && !rundense)
+            return compress_opt_t<int32_t, /*SPARSE=*/true>(
+                wbase, s, src_size, dst, dst_cap, level, &workopt);
         return compress_opt_t<int32_t>(wbase, s, src_size, dst, dst_cap,
                                        level, &workopt);
     }

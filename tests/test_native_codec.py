@@ -308,16 +308,18 @@ for lv in (9, 11, 12):
     assert run({}) == run({"PLZ4_FORCE_COST64": "1"})
 
 
-# --- forward plateau parse (levels 9-11) edge cases ---------------------
-# Reference analog: LZ4HC_compress_optimal (lz4hc.c:1823); our dispatcher
-# routes L9-10 (and L11 blocks > 1 MiB) through compress_opt_fwd with a
-# min-of-two DP fallback on run-dense blocks (lz4r.cpp compress_opt).
+# --- sparse-parse (levels 9-11) edge cases ------------------------------
+# The dispatcher routes L9-10 (and L11 blocks > 1 MiB) through the DP
+# with coverage-extension pass-1 scheduling (compress_opt_t<.., SPARSE>),
+# except run-dominated blocks which take the dense scan (lz4r.cpp
+# compress_opt). Reference analog of the speed tier this replaces:
+# LZ4HC_compress_optimal (lz4hc.c:1823).
 
 
 @pytest.mark.parametrize("level", [9, 10, 11])
 def test_fwd_parse_routing_boundary_roundtrip(level):
-    """Blocks straddling the L11 1-MiB fwd/DP routing boundary roundtrip
-    bit-exactly on both sides (and the boundary block itself)."""
+    """Blocks straddling the L11 1-MiB sparse/dense routing boundary
+    roundtrip bit-exactly on both sides (and the boundary block itself)."""
     rng = np.random.default_rng(77)
     base = make_compressible(1 << 20, seed=7) + bytes(rng.integers(
         0, 256, 4096, dtype=np.uint8))
@@ -329,10 +331,10 @@ def test_fwd_parse_routing_boundary_roundtrip(level):
 
 @pytest.mark.parametrize("level", [9, 10, 11])
 def test_fwd_parse_run_dense_min_of_two(level):
-    """Run-dense blocks trigger the min-of-two DP fallback; the output
-    must roundtrip and never exceed the plain HC level below it by more
-    than the escape trade allows (sanity envelope, not the contract —
-    the upstream oracle pins the real contract)."""
+    """Run-dense blocks route to the dense-scan DP; the output must
+    roundtrip and never exceed the plain HC level below it (sanity
+    envelope, not the contract — the upstream oracle pins the real
+    contract)."""
     rng = np.random.default_rng(13)
     parts = []
     for _ in range(200):

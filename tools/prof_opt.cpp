@@ -154,5 +154,25 @@ int main(int argc, char** argv) {
            (unsigned long long)g_cfstats.seeded,
            g_cfstats.finds ? (double)g_cfstats.seeded / g_cfstats.finds
                            : 0.0);
+    uint64_t tot_cnt = 0, tot_gain = 0;
+    for (int b = 0; b < 32; ++b) {
+        tot_cnt += g_cfstats.imp_d_cnt[b];
+        tot_gain += g_cfstats.imp_d_gain[b];
+    }
+    if (tot_cnt) {
+        printf("improvements at covered positions by d from anchor "
+               "(cnt/gain, %% of total gain):\n");
+        for (int b = 1; b < 32; ++b) {
+            if (!g_cfstats.imp_d_cnt[b]) continue;
+            if (b <= 15)
+                printf("  d=%-5d", b);
+            else
+                printf("  d>=%-4d", 1 << (b - 16));
+            printf("%9llu /%10llu  (%5.1f%%)\n",
+                   (unsigned long long)g_cfstats.imp_d_cnt[b],
+                   (unsigned long long)g_cfstats.imp_d_gain[b],
+                   100.0 * g_cfstats.imp_d_gain[b] / tot_gain);
+        }
+    }
     return 0;
 }
