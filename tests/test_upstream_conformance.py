@@ -232,26 +232,28 @@ def test_cross_fuzz_random_payloads(seed):
 
 
 @pytest.mark.skipif(not os.environ.get("PLZ4_FUZZ_FULL"),
-                    reason="500-seed sweep: set PLZ4_FUZZ_FULL=1 (minutes)")
+                    reason="adversarial sweep: set PLZ4_FUZZ_FULL=1 "
+                           "(500 seeds, ~20 s) or 2 (2000 seeds)")
 def test_size_contract_residual_bound():
-    """The KNOWN APPROXIMATION in lz4r.cpp, enforced: across 500 seeds of
-    adversarial structured payloads at every opt level, losses vs upstream
-    are bounded — each loss <= max(10 bytes, 2% of the upstream size) and
-    at most 20% of (payload, level) trials lose at all (measured 13.5%
-    in round 2; 4.2% after the round-3 forward-plateau/min-of-two
-    rebuild, with L9 at zero losses and a 51 B / 0.58% worst case on a
-    2000-seed extended sweep). (The relative arm
-    exists for the run-dense-text class, which loses up to
-    ~1.6% at L10 on small payloads — see lz4r.cpp pass 1; knob sweeps on
-    attempts/sufficient/skip/pa recover under 20% of it, the rest is the
-    carry-skip architecture trade.) Realistic corpora must never
-    lose (pinned by test_size_contract_every_level); this pins the
-    adversarial boundary so the contract's edge is a test, not folklore."""
+    """The KNOWN APPROXIMATION in lz4r.cpp, enforced at the measurement
+    (VERDICT r3 #6 tightened the old 20%/2% envelope): across 500 seeds
+    (2000 with PLZ4_FUZZ_FULL=2) of adversarial structured payloads at
+    every opt level, each loss vs upstream is <= max(10 bytes, 1% of the
+    upstream size) and at most 8% of (payload, level) trials lose at
+    all. Measured round 4 (coverage-extension sparse parse): 5.3% of
+    trials lose, worst 14 B / 0.40%, L9 near-zero (3 losses <= 3 B).
+    The relative arm exists for the run-dense-text class — see the
+    KNOWN APPROXIMATION note in lz4r.cpp pass 1; knob sweeps recover
+    under 20% of it, the rest is the carry-skip architecture trade.
+    Realistic corpora must never lose (pinned by
+    test_size_contract_every_level); this pins the adversarial boundary
+    so the contract's edge is a test, not folklore."""
     import random
 
+    seeds = 2000 if os.environ.get("PLZ4_FUZZ_FULL") == "2" else 500
     trials = 0
     losses = []  # (seed, level, delta, rel)
-    for seed in range(500):
+    for seed in range(seeds):
         rng = random.Random(31337 + seed)
         data = _structured_payload(rng)
         for level in (9, 10, 11, 12):
@@ -261,12 +263,12 @@ def test_size_contract_residual_bound():
             if ours > theirs:
                 losses.append((seed, level, ours - theirs,
                                (ours - theirs) / max(1, theirs)))
-    bad = [x for x in losses if x[2] > 10 and x[3] > 0.02]
+    bad = [x for x in losses if x[2] > 10 and x[3] > 0.01]
     frac = len(losses) / trials
     assert not bad, f"loss exceeds documented bound: {bad[:20]}"
-    assert frac <= 0.20, (
+    assert frac <= 0.08, (
         f"{len(losses)}/{trials} trials lose vs upstream "
-        f"(bound 20%): {losses[:20]}")
+        f"(bound 8%): {losses[:20]}")
 
 
 # --- frame-level: upstream blocks wrapped in our frames round-trip ----------
