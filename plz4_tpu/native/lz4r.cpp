@@ -2077,16 +2077,31 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
 
     // --- pass 2: backward DP over sequence starts --------------------------
     constexpr CostT INF = ResTree<CostT>::NONE;
-    std::vector<CostT>& dp = sc.dp;
-    std::vector<int32_t>& g_len = sc.g_len;
-    std::vector<CostT>& g = sc.g;
-    std::vector<int32_t>& run_of = sc.run_of;
-    std::vector<int32_t>& len_of = sc.len_of;
-    dp.assign(n + 1, INF);
-    g_len.assign(n, 0);       // best match length at j
-    g.assign(n, INF);         // match-part cost at j
-    run_of.assign(n, -1);     // chosen literal-run length
-    len_of.assign(n, 0);      // chosen match length (0 = final)
+    std::vector<CostT>& dp_v = sc.dp;
+    std::vector<int32_t>& g_len_v = sc.g_len;
+    std::vector<CostT>& g_v = sc.g;
+    std::vector<int32_t>& run_of_v = sc.run_of;
+    std::vector<int32_t>& len_of_v = sc.len_of;
+    // No INF/zero pre-fills: the descending i-loop WRITES dp[i], g[i],
+    // g_len[i], run_of[i], len_of[i] at every position before anything
+    // reads them (all reads are of indices > i), and g[i] is written INF
+    // explicitly when no match exists. The fills were 20 bytes of memory
+    // traffic per input byte and dominated pass 2 on 64 KiB engine
+    // blocks (0.29 s / 8 MiB measured round 4). Only dp[n] needs a
+    // value. assign() was also the capacity keeper — grow explicitly.
+    auto grow = [](auto& v, size_t m) {
+        if (v.size() < m) v.resize(m);
+    };
+    grow(dp_v, (size_t)n + 1);
+    grow(g_len_v, (size_t)n);
+    grow(g_v, (size_t)n);
+    grow(run_of_v, (size_t)n);
+    grow(len_of_v, (size_t)n);
+    CostT* const dp = dp_v.data();
+    int32_t* const g_len = g_len_v.data();
+    CostT* const g = g_v.data();
+    int32_t* const run_of = run_of_v.data();
+    int32_t* const len_of = len_of_v.data();
     // r in [0,14], [15,269], [270,524]
     static thread_local WinMin<CostT> w0, w1, w2;
     w0.reset(n + 1);
@@ -2107,6 +2122,17 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     dp[n] = INF;  // a sequence cannot start at n (handled by final run)
 
     int m_next = -2;  // windows are advanceable at step i iff m_next == i
+    // lazy long-run machinery (see the bookkeeping comment below):
+    // pushes performed for positions >= lazy_i. The lower bound on
+    // long-run options is kept in FOUR aging buckets of min(g[j] + j),
+    // rotated every 255 steps so a stale strong entry loosens the bound
+    // by at most one llext band instead of forever: entries in b0/b1 are
+    // (or may still be) in the llext=1 band, b2's are all llext >= 2,
+    // older ones llext >= 3. A single rolling min (no aging) kept
+    // triggering catch-ups for the entire block after each strong entry.
+    int lazy_i = n;
+    CostT lr_b0 = INF, lr_b1 = INF, lr_b2 = INF, lr_rest = INF;
+    int lr_phase = 0;
     for (int i = n - 1; i >= 0; --i) {
         // match-part cost g[i]: short lengths exhaustively, the maximal
         // length, and the lengths just below each extension-byte bump
@@ -2173,18 +2199,31 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
             }
             g[i] = best;
             g_len[i] = best_l;
+        } else {
+            g[i] = INF;  // no pre-fill: see the pass-2 header comment
         }
         // window bookkeeping: as i decreases, a match start j's run length
         // r = j - i grows, so j migrates bucket0 -> bucket1 -> bucket2 ->
-        // tail; push j into each bucket exactly when it enters it
+        // tail. Bucket 0 (r <= 14, the hot common case) is maintained
+        // eagerly; the LONG-RUN machinery (w1/w2/rtree) is maintained
+        // LAZILY: a rolling suffix-min of g[j] + j over j >= i + 15 gives
+        // an O(1) sound lower bound on EVERY long-run option
+        // (1 + llext(r>=15) + g[j] + j - i >= 2 + lr_min - i), and the
+        // windows/tree only catch up (performing the skipped pushes in
+        // descending order) when that bound beats the short options.
+        // Eager maintenance measured 22 ns/pos — 2/3 of pass 2 — while
+        // long-literal-run wins are rare on compressible data (round 4).
         if (g[i] < INF) w0.push(i, g[i] + i);
-        if (i + 15 < n && g[i + 15] < INF)
-            w1.push(i + 15, g[i + 15] + (i + 15));
-        if (i + 270 < n && g[i + 270] < INF)
-            w2.push(i + 270, g[i + 270] + (i + 270));
-        if (i + 525 < n && g[i + 525] < INF) {
-            int32_t j = i + 525;
-            rtree.insert(j % 255, g[j] + j + j / 255, j);
+        if (i + 15 < n && g[i + 15] < INF) {
+            CostT v = g[i + 15] + (i + 15);
+            if (v < lr_b0) lr_b0 = v;
+        }
+        if (++lr_phase == 255) {
+            lr_phase = 0;
+            if (lr_b2 < lr_rest) lr_rest = lr_b2;
+            lr_b2 = lr_b1;
+            lr_b1 = lr_b0;
+            lr_b0 = INF;
         }
         // dp[i]: final-literal-run option, then one option per llext range
         int fin_r = n - i;
@@ -2196,37 +2235,54 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
             CostT c = 1 + 0 + (w0.min() - i);
             if (c < best) { best = c; best_j = w0.argmin(); }
         }
-        w1.drop_above(i + 269);
-        if (!w1.empty() && w1.argmin() >= i + 15) {
-            CostT c = 1 + 1 + (w1.min() - i);
-            if (c < best) { best = c; best_j = w1.argmin(); }
-        }
-        w2.drop_above(i + 524);
-        if (!w2.empty() && w2.argmin() >= i + 270) {
-            CostT c = 1 + 2 + (w2.min() - i);
-            if (c < best) { best = c; best_j = w2.argmin(); }
-        }
-        if (i + 525 <= n - 1) {
-            // tail: exact per-residue-class pricing (see ResTree). The
-            // root of the tree lower-bounds every tail candidate, so the
-            // two range queries only run when the tail can actually beat
-            // the short-run options — on match-dense data (best small)
-            // this skips in 3 ops
-            int aa = i + 15;
-            int Q = aa / 255, R = aa % 255;
-            if (2 + rtree.gmin - i - Q - 1 < best) {
-                PLZ4_STAT(++g_cfstats.tail_q);
-                CostT v1, v2;
-                int32_t j1, j2;
-                rtree.query(R, 254, v1, j1);
-                rtree.query(0, R - 1, v2, j2);
-                CostT cand;
-                int32_t cj;
-                if (v2 - 1 < v1) { cand = v2 - 1; cj = j2; }
-                else { cand = v1; cj = j1; }
-                if (cand < ResTree<CostT>::NONE - 1) {
-                    CostT c = 2 + cand - i - Q;
-                    if (c < best) { best = c; best_j = cj; }
+        CostT lr_lb = std::min(
+            std::min(2 + lr_b0, 2 + lr_b1),
+            std::min(3 + lr_b2, 4 + lr_rest));
+        if (lr_lb - i < best) {
+            PLZ4_STAT(++g_cfstats.tail_q);
+            // a long-run option may win: catch the lazy structures up
+            for (int p = lazy_i - 1; p >= i; --p) {
+                if (p + 15 < n && g[p + 15] < INF)
+                    w1.push(p + 15, g[p + 15] + (p + 15));
+                if (p + 270 < n && g[p + 270] < INF)
+                    w2.push(p + 270, g[p + 270] + (p + 270));
+                if (p + 525 < n && g[p + 525] < INF) {
+                    int32_t j = p + 525;
+                    rtree.insert(j % 255, g[j] + j + j / 255, j);
+                }
+            }
+            if (lazy_i > i) lazy_i = i;
+            w1.drop_above(i + 269);
+            if (!w1.empty() && w1.argmin() >= i + 15) {
+                CostT c = 1 + 1 + (w1.min() - i);
+                if (c < best) { best = c; best_j = w1.argmin(); }
+            }
+            w2.drop_above(i + 524);
+            if (!w2.empty() && w2.argmin() >= i + 270) {
+                CostT c = 1 + 2 + (w2.min() - i);
+                if (c < best) { best = c; best_j = w2.argmin(); }
+            }
+            if (i + 525 <= n - 1) {
+                // tail: exact per-residue-class pricing (see ResTree).
+                // The root of the tree lower-bounds every tail candidate,
+                // so the two range queries only run when the tail can
+                // actually beat the short-run options
+                int aa = i + 15;
+                int Q = aa / 255, R = aa % 255;
+                if (2 + rtree.gmin - i - Q - 1 < best) {
+                    PLZ4_STAT(++g_cfstats.tail_q);
+                    CostT v1, v2;
+                    int32_t j1, j2;
+                    rtree.query(R, 254, v1, j1);
+                    rtree.query(0, R - 1, v2, j2);
+                    CostT cand;
+                    int32_t cj;
+                    if (v2 - 1 < v1) { cand = v2 - 1; cj = j2; }
+                    else { cand = v1; cj = j1; }
+                    if (cand < ResTree<CostT>::NONE - 1) {
+                        CostT c = 2 + cand - i - Q;
+                        if (c < best) { best = c; best_j = cj; }
+                    }
                 }
             }
         }
