@@ -311,14 +311,23 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
     return enc_gbps, dec_gbps, ratio
 
 
-def main() -> None:
-    import plz4_tpu
+def _host_stats() -> tuple[float, int, int]:
+    """(1-min loadavg, cumulative steal jiffies, cumulative total jiffies).
 
-    plz4_tpu.enable_compile_cache()
-    data = load_corpus()
-    blocks = chunk_blocks(data)
-    gb = len(data) / 1e9
+    Contention detection (VERDICT r3 #3): BENCH_r03's host section was
+    captured while a device session contended the 4 vCPUs and the
+    artifact of record contradicted the committed tables."""
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return load1, (v[7] if len(v) > 7 else 0), max(1, sum(v))
+    except Exception:  # pragma: no cover
+        return 0.0, 0, 1
 
+
+def bench_host(data: bytes, blocks: list[bytes], gb: float) -> float:
+    """Native single-thread + engine config measurements. Returns the
+    native roundtrip GB/s (the JSON baseline denominator)."""
     t_enc_n, t_dec_n = bench_native(blocks)
     native_rt = 2 * gb / (t_enc_n + t_dec_n)
     _log(f"native 1-thread: encode {gb / t_enc_n:.3f} GB/s, "
@@ -352,12 +361,18 @@ def main() -> None:
         # remaining BASELINE.md configs (stderr context): linked L6, HC 9/12,
         # dictionary small-record workload
         sub = data[: 8 << 20]
-        for name, kw in (
+        cfgs = (
             ("linked-l6", dict(block_linked=True, level=6,
                                block_size_idx=4)),
             ("hc-9", dict(level=9, block_size_idx=4)),
             ("hc-12", dict(level=12, block_size_idx=4)),
-        ):
+        )
+        # cross-config warm-up: the finder/pool cold-start spans configs —
+        # a fresh process otherwise under-reads the FIRST configs by 8-25%
+        # (VERDICT r3 #3b: fresh-process hc-9 read 45.1, warm 49-62)
+        for _, kw in cfgs:
+            plz4.compress(sub, parallel=-1, content_checksum=False, **kw)
+        for name, kw in cfgs:
             c = plz4.compress(sub, parallel=-1, content_checksum=False, **kw)
             assert plz4.decompress(c) == sub
 
@@ -417,6 +432,35 @@ def main() -> None:
                  f"L9 ratio {len(cdata) / r9c:.3f}")
     except Exception as e:  # pragma: no cover
         _log(f"engine bench skipped: {e}")
+    return native_rt
+
+
+def main() -> None:
+    import plz4_tpu
+
+    plz4_tpu.enable_compile_cache()
+    data = load_corpus()
+    blocks = chunk_blocks(data)
+    gb = len(data) / 1e9
+
+    # host section with contention detection + one retry (VERDICT r3 #3a)
+    contended = False
+    load1 = steal_frac = 0.0
+    native_rt = 0.0
+    for attempt in (1, 2):
+        load1, s0, tot0 = _host_stats()
+        native_rt = bench_host(data, blocks, gb)
+        _, s1, tot1 = _host_stats()
+        steal_frac = (s1 - s0) / max(1, tot1 - tot0)
+        contended = load1 > 1.0 or steal_frac > 0.10
+        if not contended or attempt == 2:
+            break
+        _log(f"host section CONTENDED (pre-load1 {load1:.2f}, steal "
+             f"{steal_frac:.1%}); backing off 45 s and re-running once")
+        time.sleep(45)
+    if contended:
+        _log(f"host numbers above are flagged contended (pre-load1 "
+             f"{load1:.2f}, steal {steal_frac:.1%})")
 
     metric = ("lz4 frame roundtrip (encode+decode) GB/s per chip, "
               "64KiB blocks, level 1, Silesia-like corpus")
@@ -457,6 +501,9 @@ def main() -> None:
             "value": round(device_rt, 4),
             "unit": "GB/s",
             "vs_baseline": round(device_rt / native_rt, 4),
+            "contended": contended,
+            "host_load1": round(load1, 2),
+            "host_steal": round(steal_frac, 4),
         }))
     except Exception as e:  # device/tunnel fault: still report something
         # (Exception, not BaseException: Ctrl-C/SystemExit must abort the
@@ -469,6 +516,9 @@ def main() -> None:
             "value": round(native_rt, 4),
             "unit": "GB/s",
             "vs_baseline": 1.0,
+            "contended": contended,
+            "host_load1": round(load1, 2),
+            "host_steal": round(steal_frac, 4),
         }))
 
 
