@@ -725,15 +725,16 @@ _BW_MAX_ELEMS = 230 * 1024
 
 
 def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False,
-             hashes: bool = False) -> bool:
-    n_tables = 4 if (mid and os.environ.get("PLZ4_MID_DEPTH4")) else 2
+             hashes: bool = False, depth4: bool = False) -> bool:
+    n_tables = 4 if (mid and (depth4
+                              or os.environ.get("PLZ4_MID_DEPTH4"))) else 2
     tables = n_tables * (1 << (MID_HASH_LOG if mid else HASH_LOG))
     per_in = 1 + (1 if vals else 0) + (1 if hashes else 0)
     return n_in * per_in + cap + tables <= _BW_MAX_ELEMS
 
 
 def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
-                    interpret: bool):
+                    interpret: bool, depth4: bool = False):
     """Shared pallas_call for the byte-wide encode kernel. Enables the
     precomputed-word-table variant (1 SMEM load per u32 read in the scan
     instead of 4 loads + 3 ors) whenever the extra input-sized operand
@@ -761,9 +762,10 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     inputs.append(meta)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    # depth-4 mid chain (two extra 2^13 tables): lab A/B switch for the
-    # device-level ratio/throughput frontier (VERDICT r2 #3a)
-    depth4 = mid and bool(os.environ.get("PLZ4_MID_DEPTH4"))
+    # depth-4 mid chain (two extra 2^13 tables): the device ladder's
+    # third quality tier (device levels >= 8, VERDICT r3 #5); the env
+    # switch forces it on for lab A/Bs at any level
+    depth4 = mid and (depth4 or bool(os.environ.get("PLZ4_MID_DEPTH4")))
     n_tables = 4 if depth4 else 2
     ob, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel_bw, mid=mid, vals=vals,
@@ -892,19 +894,23 @@ def encode_batch_pallas(data: jnp.ndarray, lens: jnp.ndarray,
     return jax.lax.map(lambda args: fn(*args), (data, lens))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
 def encode_block_pallas_mid(data: jnp.ndarray, n: jnp.ndarray,
-                            interpret: bool = False):
-    """HC-class device encode (depth-2 chain): device levels >= 3 route
-    here instead of the ~2 MB/s XLA array path."""
+                            interpret: bool = False,
+                            depth4: bool = False):
+    """HC-class device encode: device levels 3-7 route here with the
+    depth-2 chain, levels >= 8 with depth4=True (two extra candidate
+    tables; measured -19% speed for -0.6..-7.5% size) instead of the
+    ~2 MB/s XLA array path. depth4 needs the byte-wide variant's SMEM
+    budget; oversized blocks fall back to the depth-2 packed kernel."""
     N = data.shape[0]
     assert N % 4 == 0
     CAP = (N + N // 255 + 64 + 3) & ~3
     data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
     meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
-    if _bw_fits(N + 8, CAP, mid=True):
+    if _bw_fits(N + 8, CAP, mid=True, depth4=depth4):
         return _encode_call_bw(data, meta, CAP, mid=True,
-                               interpret=interpret)
+                               interpret=interpret, depth4=depth4)
     dw = pack_words(data)
     ow, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel, mid=True),
@@ -929,10 +935,11 @@ def encode_block_pallas_mid(data: jnp.ndarray, n: jnp.ndarray,
     return unpack_words(ow), total[0], ok[0] != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
 def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
                                  dict_buf: jnp.ndarray, dlen: jnp.ndarray,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 depth4: bool = False):
     """Mid-mode encode with a window prefix (linked/dict device levels >= 3)."""
     N = data.shape[0]
     D = dict_buf.shape[0]
@@ -942,9 +949,9 @@ def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
         [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
     meta = jnp.stack([n.astype(I32), jnp.int32(D),
                       jnp.int32(D) - dlen.astype(I32)])
-    if _bw_fits(D + N + 8, CAP, mid=True):
+    if _bw_fits(D + N + 8, CAP, mid=True, depth4=depth4):
         return _encode_call_bw(combined, meta, CAP, mid=True,
-                               interpret=interpret)
+                               interpret=interpret, depth4=depth4)
     dw = pack_words(combined)
     ow, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel, mid=True),
@@ -969,16 +976,20 @@ def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
     return unpack_words(ow), total[0], ok[0] != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_batch_pallas_mid(data, lens, interpret: bool = False):
-    fn = functools.partial(encode_block_pallas_mid, interpret=interpret)
+@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
+def encode_batch_pallas_mid(data, lens, interpret: bool = False,
+                            depth4: bool = False):
+    fn = functools.partial(encode_block_pallas_mid, interpret=interpret,
+                           depth4=depth4)
     return jax.lax.map(lambda args: fn(*args), (data, lens))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
 def encode_batch_pallas_mid_dict(data, lens, dicts, dlens,
-                                 interpret: bool = False):
-    fn = functools.partial(encode_block_pallas_mid_dict, interpret=interpret)
+                                 interpret: bool = False,
+                                 depth4: bool = False):
+    fn = functools.partial(encode_block_pallas_mid_dict,
+                           interpret=interpret, depth4=depth4)
     return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 

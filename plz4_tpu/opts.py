@@ -66,13 +66,15 @@ class Options:
     dictionary: Optional[bytes] = None
     worker_pool: Optional[object] = None  # object with submit(fn) -> future
     # "native" | "device" | "auto". DEVICE LEVEL MAPPING: the device
-    # (TPU) backend has two parse qualities, not twelve — levels <= 2 run
-    # the greedy kernel, levels >= 3 the depth-2 chain ("mid") kernel,
-    # whose ratio lands between host L2 and L3 (~2.4-2.5 on enwik-class
-    # data vs 3.0 at native L12). Requesting backend="device", level=12
-    # buys the mid kernel's ratio at device throughput — a stated trade
-    # (pinned by tests/test_device_backend.py::test_device_level_mapping),
-    # not native-L12 parity. Use backend="native" when maximum ratio
+    # (TPU) backend has three parse qualities, not twelve — levels <= 2
+    # run the greedy kernel, levels 3-7 the depth-2 chain ("mid")
+    # kernel, and levels >= 8 the depth-4 chain (two more candidate
+    # tables; measured -0.6..-7.5% size for ~-19% speed). Ratios land
+    # between host L2 and L3 (~2.4-2.6 on enwik-class data vs 3.0 at
+    # native L12). Requesting backend="device", level=12 buys the
+    # depth-4 ratio at device throughput — a stated trade (pinned by
+    # tests/test_device_backend.py::test_device_level_mapping), not
+    # native-L12 parity. Use backend="native" when maximum ratio
     # matters more than device residency.
     backend: str = "auto"
     # write-side
@@ -101,6 +103,16 @@ class Options:
             self.dictionary = self.dictionary[-WINDOW_SIZE:]
         if self.backend not in ("native", "device", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend == "device":
+            # The device engine's Pallas kernels are SMEM-resident and
+            # sized for <= 64 KiB blocks; a 4 MiB block cannot even be
+            # allocated on chip (Mosaic: "would exceed memory", found
+            # round 4 driving the Writer on real hardware — the round-3
+            # tunnel outage hid it). Device frames therefore always use
+            # 64 KiB blocks: the produced frame is standard LZ4 either
+            # way, and 64 KiB is also the device throughput sweet spot.
+            if self.block_size_idx > desc.BLOCK_IDX_64KB:
+                self.block_size_idx = desc.BLOCK_IDX_64KB
 
     @property
     def block_size(self) -> int:

@@ -129,11 +129,13 @@ def test_device_block_checksums_computed_on_device(monkeypatch):
 
 def test_device_level_mapping():
     """Pin the documented device level->parse-quality mapping (opts.py):
-    levels <= 2 route to the greedy kernel, levels >= 3 to the depth-2
-    "mid" kernel — device level 12 is mid quality (between native L1 and
-    L2 on text-class blocks), NOT native-L12 parity.
-    Pins both the routing (greedy/mid sizes differ, mid wins) and the
-    ratio band per kernel so a silent quality change fails loudly."""
+    levels <= 2 route to the greedy kernel, levels 3-7 to the depth-2
+    "mid" kernel, levels >= 8 to the depth-4 chain (round-4 third tier)
+    — device level 12 is depth-4 quality (between native L1 and L2 on
+    text-class blocks), NOT native-L12 parity.
+    Pins both the routing (greedy/mid/depth-4 sizes strictly improve)
+    and the ratio band per kernel so a silent quality change fails
+    loudly."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -148,17 +150,22 @@ def test_device_level_mapping():
         jnp.asarray(buf), lens, interpret=True)
     out_m, tot_m, ok_m = encode_pallas.encode_block_pallas_mid(
         jnp.asarray(buf), lens, interpret=True)
-    assert bool(ok_g) and bool(ok_m)
-    size_g, size_m = int(tot_g), int(tot_m)
+    out_4, tot_4, ok_4 = encode_pallas.encode_block_pallas_mid(
+        jnp.asarray(buf), lens, interpret=True, depth4=True)
+    assert bool(ok_g) and bool(ok_m) and bool(ok_4)
+    size_g, size_m, size_4 = int(tot_g), int(tot_m), int(tot_4)
 
-    # both decode bit-exactly via the native codec
-    for out, size in ((out_g, size_g), (out_m, size_m)):
+    # all decode bit-exactly via the native codec
+    for out, size in ((out_g, size_g), (out_m, size_m), (out_4, size_4)):
         comp = np.asarray(out)[:size].tobytes()
         assert native.decompress(comp, len(data)) == data
 
-    # mid (device levels >= 3) must compress strictly better than greedy
-    # (device levels <= 2) ...
+    # mid (device levels 3-7) must compress strictly better than greedy
+    # (device levels <= 2), and depth-4 (levels >= 8) strictly better
+    # than mid: backend="device", level=12 buys measurably more ratio
+    # than level=3
     assert size_m < size_g
+    assert size_4 < size_m, (size_4, size_m)
     # ... and the band vs the native ladder is the documented trade:
     # greedy tracks native L1, mid lands BETWEEN native L1 and L2 on this
     # corpus — far above native L12's size (the trade opts.py documents)
