@@ -1607,12 +1607,33 @@ inline int opt_gram() {
     return g;
 }
 
+// Span-keyed gram choice for the SPARSE levels: at engine block spans
+// (block + window <= 160 KiB) the 4-gram single-table finder measured
+// byte-identical to the 6-gram ladder stack at 1.3x speed — short
+// windows keep the denser 4-gram chains walkable, and the ladder
+// inserts (3 tables per position, ~2/3 of pass-1 insert cost) vanish.
+// Large spans keep the configured gram (denser text buckets need the
+// split). PLZ4_OPT_GRAM, when set, overrides BOTH (lab sweeps).
+inline int opt_gram_small() {
+    static const int g = [] {
+        const char* e = std::getenv("PLZ4_OPT_GRAM");
+        int v = e ? std::atoi(e) : 4;
+        return v < 4 ? 4 : v > 7 ? 7 : v;
+    }();
+    return g;
+}
+constexpr size_t OPT_SMALL_SPAN = 160 << 10;
+
 inline ChainFinder& acquire_opt_finder(const uint8_t* wbase,
                                        const uint8_t* src,
-                                       const uint8_t* iend) {
+                                       const uint8_t* iend,
+                                       bool small_span = false) {
+    // two finders so alternating small/large calls never thrash a
+    // shared table (set_gram forces a full reset)
     static thread_local ChainFinder tl_cf_opt;
-    ChainFinder& cf = tl_cf_opt;
-    const int OPT_GRAM = opt_gram();
+    static thread_local ChainFinder tl_cf_opt_small;
+    ChainFinder& cf = small_span ? tl_cf_opt_small : tl_cf_opt;
+    const int OPT_GRAM = small_span ? opt_gram_small() : opt_gram();
     if (cf.gram != OPT_GRAM) {
         cf.set_gram(OPT_GRAM);
         cf.reset();
@@ -1690,7 +1711,9 @@ inline int sparse_env(const char* name, int dflt, int lo, int hi) {
     return v < lo ? lo : v > hi ? hi : v;
 }
 inline int sparse_tail() {
-    static const int v = sparse_env("PLZ4_SPARSE_TAIL", 1, 0, 64);
+    // -1 = auto: the completeness requirement is gram - 5 (see the
+    // schedule comment), resolved against the finder actually in use
+    static const int v = sparse_env("PLZ4_SPARSE_TAIL", -1, -1, 64);
     return v;
 }
 inline int sparse_scanb() {
@@ -1792,8 +1815,17 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // Long-gram chains + exact recovery ladder: same match lengths
         // by construction (see ChainFinder::gram), text-class buckets
         // split finer at every gram step (measured steps/find on text:
-        // 55 at gram 4, 29 at gram 5 — tools/prof_opt).
-        ChainFinder& cf = ext ? *ext : acquire_opt_finder(wbase, src, iend);
+        // 55 at gram 4, 29 at gram 5 — tools/prof_opt). Sparse levels at
+        // engine block spans take the single-table 4-gram finder instead
+        // (see opt_gram_small).
+        // windowless only: windowed calls must stay byte-consistent with
+        // the prebuilt dict-context chains (built at the default gram)
+        ChainFinder& cf =
+            ext ? *ext
+                : acquire_opt_finder(
+                      wbase, src, iend,
+                      SPARSE && wbase == src &&
+                          (size_t)(iend - wbase) <= OPT_SMALL_SPAN);
         // long-match inheritance: inside a long match, position i+1 has at
         // least (len-1, same offset) — skip the chain walk there. Keeps the
         // scan near-linear on RLE/periodic data. (A denser skip was tried
@@ -1823,7 +1855,10 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
         // dense-mode diagnostic: distance from the last improvement
         int anchor = -(1 << 30);
 #endif
-        const int sp_tail = SPARSE ? sparse_tail() : 0;
+        const int sp_tail =
+            SPARSE ? (sparse_tail() >= 0 ? sparse_tail()
+                                         : std::max(0, cf.gram - 5))
+                   : 0;
         const int sp_scanb =
             SPARSE ? (sparse_scanb() > 0 ? sparse_scanb() : prm.scan_budget)
                    : 0;
