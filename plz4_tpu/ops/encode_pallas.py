@@ -993,6 +993,352 @@ def encode_batch_pallas_mid_dict(data, lens, dicts, dlens,
     return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
+DEEP_HASH_LOG = 15  # deep tier: 2^15 head buckets + a full chain array
+
+
+def _deep_fits(n_in: int, cap: int) -> bool:
+    """Deep tier SMEM budget: input + chain (one link per input byte) +
+    output + head table must stay inside the measured-good element range.
+    True for plain 64 KiB blocks (229,772 of 235,520); window-prefix calls
+    at the device's 64 KiB window do NOT fit and fall back to depth-4."""
+    return 2 * n_in + cap + (1 << DEEP_HASH_LOG) <= _BW_MAX_ELEMS
+
+
+def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
+                        head_ref, chain_ref, tries: int = 16):
+    """HC-class chain-finder encode (device levels >= 10): byte-wide SMEM
+    layout with a real hash-chain match finder — head_ref[h] holds the most
+    recent position+1 for bucket h and chain_ref[p] the previous same-bucket
+    position+1 — walked up to `tries` links per search with a byte-probe
+    early exit at the current best length, full re-extension on probe hits,
+    one-step-iterated lazy matching, and every covered position inserted
+    (reference analog: LZ4HC_InsertAndGetWiderMatch + the lazy overlap loop
+    of LZ4HC_compress_hashChain, clz4/lz4hc.c:885,1100 — rebuilt here on
+    this kernel family's scan/emit skeleton; the walk's probe-then-extend
+    step is the measured-cheap shape on the scalar core: ~15 ops/link when
+    the probe misses, a zero-trip extension loop instead of a lax.cond).
+    Same stream semantics as _encode_kernel_bw (window prefix via n_ref,
+    incompressible flag, wild emits with room guards)."""
+    DT = c_ref.shape[0]
+    OT = o_ref.shape[0]
+    n = n_ref[0]
+    base = n_ref[1]
+    first = n_ref[2]
+    end = base + n
+
+    def hash4(u32):
+        return jax.lax.shift_right_logical(u32 * HASH_MUL,
+                                           32 - DEEP_HASH_LOG)
+
+    def rd_u32(p):
+        return (c_ref[p] | (c_ref[p + 1] << 8) | (c_ref[p + 2] << 16)
+                | (c_ref[p + 3] << 24))
+
+    # ---- zero the head table (chain links are written before read) ------
+    def tinit(t, _):
+        b = t * 8
+        for k in range(8):
+            head_ref[b + k] = 0
+        return 0
+
+    jax.lax.fori_loop(0, (1 << DEEP_HASH_LOG) // 8, tinit, 0)
+
+    def insert(p):
+        u = rd_u32(p)
+        h = hash4(u)
+        chain_ref[p] = head_ref[h]
+        head_ref[h] = p + 1
+        return h
+
+    # ---- window preload (linked/dict prefix) -----------------------------
+    def wload(p, _):
+        insert(p)
+        return 0
+
+    jax.lax.fori_loop(first, base, wload, 0)
+
+    mflimit = end - 12
+    matchlimit = end - 5
+    out_limit = OT - 16
+
+    def walk(p, min_len):
+        """Walk p's chain (already inserted) for the longest match of
+        length > min_len ending before matchlimit. Returns (best_len,
+        best_pos); best_len == min_len means none found. Each link costs a
+        clipped byte probe at best_len; the extension while_loop re-verifies
+        from byte 0 on probe hits (zero iterations otherwise), so no
+        separate first-word check is needed."""
+        lo = jnp.maximum(first, p - MAX_DISTANCE)
+
+        def w_cond(s):
+            cand, _, _, t = s
+            return (cand >= lo) & (t < tries)
+
+        def w_body(s):
+            cand, bl, bp, t = s
+            hit = (c_ref[cand + bl] == c_ref[p + bl])
+
+            def e_cond(es):
+                _, act = es
+                return act != 0
+
+            def e_body(es):
+                l, _ = es
+                r0 = p + l < matchlimit
+                e0 = r0 & (c_ref[cand + l] == c_ref[p + l])
+                r1 = p + l + 1 < matchlimit
+                e1 = e0 & r1 & (c_ref[cand + l + 1] == c_ref[p + l + 1])
+                return (l + e0.astype(I32) + e1.astype(I32),
+                        e1.astype(I32))
+
+            l, _ = jax.lax.while_loop(e_cond, e_body,
+                                      (jnp.int32(0), hit.astype(I32)))
+            bp2 = jnp.where(l > bl, cand, bp)
+            bl2 = jnp.maximum(bl, l)
+            return chain_ref[cand] - 1, bl2, bp2, t + 1
+
+        _, bl, bp, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (chain_ref[p] - 1, min_len, jnp.int32(-1), jnp.int32(0)))
+        return bl, bp
+
+    def emit_len_ext(pos, value):
+        def c(s):
+            v, _ = s
+            return v >= 255
+
+        def b(s):
+            v, p = s
+            o_ref[p] = 255
+            return v - 255, p + 1
+
+        v, p = jax.lax.while_loop(c, b, (value, pos))
+        o_ref[p] = v
+        return p + 1
+
+    def emit_sequence(op, anchor, ip, mpos, mlen):
+        lit = ip - anchor
+        room = op + lit + (lit >> 8) + (mlen >> 8) + 32 <= OT
+
+        def do_emit():
+            tok_pos = op
+            o = op + 1
+            o = jax.lax.cond(
+                lit >= 15, lambda: emit_len_ext(o, lit - 15), lambda: o)
+
+            def lbody(t, _):
+                s = anchor + t * 8
+                d = o + t * 8
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+                return 0
+
+            jax.lax.fori_loop(0, (lit + 7) >> 3, lbody, 0)
+            o = o + lit
+
+            def with_match():
+                off = ip - mpos
+                o_ref[o] = off & 255
+                o_ref[o + 1] = off >> 8
+                o2 = o + 2
+                mv = mlen - 4
+                o3 = jax.lax.cond(
+                    mv >= 15, lambda: emit_len_ext(o2, mv - 15),
+                    lambda: o2)
+                o_ref[tok_pos] = (jnp.minimum(lit, 15) << 4) \
+                    | jnp.minimum(mv, 15)
+                return o3
+
+            def literals_only():
+                o_ref[tok_pos] = jnp.minimum(lit, 15) << 4
+                return o
+
+            return jax.lax.cond(mlen > 0, with_match, literals_only)
+
+        return jax.lax.cond(room, do_emit, lambda: jnp.int32(OT))
+
+    # ---- main parse -------------------------------------------------------
+    def cond(state):
+        ip, _, op, overflow = state
+        return (ip <= mflimit) & (overflow == 0)
+
+    def body(state):
+        ip, anchor, op, overflow = state
+
+        # scan: insert every visited position, stop at the first >= 4 match
+        def s_cond(s):
+            sip, _, found, _ = s
+            return (found == 0) & (sip <= mflimit)
+
+        def s_body(s):
+            sip, _, _, _ = s
+            insert(sip)
+            bl, bp = walk(sip, jnp.int32(3))
+            found = (bl >= 4).astype(I32)
+            return sip + 1 - found, bl, found, bp
+
+        sip, blen, found, bpos = jax.lax.while_loop(
+            s_cond, s_body,
+            (ip, jnp.int32(3), jnp.int32(0), jnp.int32(0)))
+
+        def no_match():
+            return sip, anchor, op, jnp.int32(0)
+
+        def with_match():
+            # lazy overlap: while the NEXT position holds a strictly longer
+            # match, absorb this byte into the pending literals and move on
+            def l_cond(s):
+                mip, _, _, go, _ = s
+                return (go != 0) & (mip + 1 <= mflimit)
+
+            def l_body(s):
+                mip, bl, bp, _, _ = s
+                p2 = mip + 1
+                insert(p2)
+                l2, q2 = walk(p2, bl)
+                better = l2 > bl
+                return (jnp.where(better, p2, mip), jnp.maximum(bl, l2),
+                        jnp.where(better, q2, bp), better.astype(I32),
+                        p2 + 1)
+
+            mip, mlen, mpos, _, hi = jax.lax.while_loop(
+                l_cond, l_body, (sip, blen, bpos, jnp.int32(1), sip + 1))
+
+            # backward extension over pending literals
+            def b_cond(s):
+                a, b_, _ = s
+                return ((a > anchor) & (b_ > first)
+                        & (c_ref[a - 1] == c_ref[b_ - 1]))
+
+            def b_body(s):
+                a, b_, l = s
+                return a - 1, b_ - 1, l + 1
+
+            mip, mpos, back = jax.lax.while_loop(
+                b_cond, b_body, (mip, mpos, jnp.int32(0)))
+            mlen = mlen + back
+
+            op2 = emit_sequence(op, anchor, mip, mpos, mlen)
+            nip = mip + mlen
+
+            # insert the positions the match covers (a real HC finder keys
+            # every position; sources past mflimit are unreachable starts)
+            def ins(p, _):
+                insert(p)
+                return 0
+
+            jax.lax.fori_loop(hi, jnp.minimum(nip, mflimit + 1), ins, 0)
+            return nip, nip, op2, (op2 > out_limit).astype(I32)
+
+        ip, anchor, op, overflow = jax.lax.cond(found != 0, with_match,
+                                                no_match)
+        return ip, anchor, op, overflow
+
+    ip0 = base
+    state = (ip0, ip0, jnp.int32(0), (n < 0).astype(I32))
+    state = jax.lax.while_loop(cond, body, state)
+    _, anchor, op, overflow = state
+
+    def final_ok():
+        return emit_sequence(op, anchor, end, jnp.int32(0), jnp.int32(0))
+
+    op = jax.lax.cond(
+        (overflow != 0)
+        | (op + (end - anchor) + (end - anchor) // 255 + 16 > OT),
+        lambda: jnp.int32(OT),
+        final_ok)
+
+    total_ref[0] = op
+    ok_ref[0] = ((op < n) & (overflow == 0)).astype(I32)
+
+
+def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
+                      interpret: bool):
+    ci = combined_u8.astype(I32)
+    ob, total, ok = pl.pallas_call(
+        functools.partial(_encode_kernel_deep, tries=tries),
+        out_shape=(
+            jax.ShapeDtypeStruct((cap,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((1 << DEEP_HASH_LOG,), I32),
+                        pltpu.SMEM((ci.shape[0],), I32)],
+        interpret=interpret,
+    )(ci, meta)
+    return ob.astype(jnp.uint8), total[0], ok[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tries"))
+def encode_block_pallas_deep(data: jnp.ndarray, n: jnp.ndarray,
+                             interpret: bool = False, tries: int = 16):
+    """Deep-tier device encode (levels >= 10): hash-chain finder with a
+    `tries`-link walk budget + lazy matching. Blocks too large for the
+    chain array's SMEM budget fall back to the depth-4 candidate tables."""
+    N = data.shape[0]
+    assert N % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    if not _deep_fits(N + 8, CAP):
+        return encode_block_pallas_mid(data, n, interpret=interpret,
+                                       depth4=True)
+    data = jnp.concatenate([data, jnp.zeros((8,), dtype=data.dtype)])
+    meta = jnp.stack([n.astype(I32), jnp.int32(0), jnp.int32(0)])
+    return _encode_call_deep(data, meta, CAP, tries, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tries"))
+def encode_block_pallas_deep_dict(data: jnp.ndarray, n: jnp.ndarray,
+                                  dict_buf: jnp.ndarray, dlen: jnp.ndarray,
+                                  interpret: bool = False, tries: int = 16):
+    """Deep-tier encode with a window prefix. The device's standard 64 KiB
+    window + 64 KiB block exceeds the chain-array budget, so full-size
+    linked/dict calls take the depth-4 path; small windows fit."""
+    N = data.shape[0]
+    D = dict_buf.shape[0]
+    assert N % 4 == 0 and D % 4 == 0
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    if not _deep_fits(D + N + 8, CAP):
+        return encode_block_pallas_mid_dict(data, n, dict_buf, dlen,
+                                            interpret=interpret,
+                                            depth4=True)
+    combined = jnp.concatenate(
+        [dict_buf, data, jnp.zeros((8,), dtype=data.dtype)])
+    meta = jnp.stack([n.astype(I32), jnp.int32(D),
+                      jnp.int32(D) - dlen.astype(I32)])
+    return _encode_call_deep(combined, meta, CAP, tries, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tries"))
+def encode_batch_pallas_deep(data, lens, interpret: bool = False,
+                             tries: int = 16):
+    fn = functools.partial(encode_block_pallas_deep, interpret=interpret,
+                           tries=tries)
+    return jax.lax.map(lambda args: fn(*args), (data, lens))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tries"))
+def encode_batch_pallas_deep_dict(data, lens, dicts, dlens,
+                                  interpret: bool = False, tries: int = 16):
+    fn = functools.partial(encode_block_pallas_deep_dict,
+                           interpret=interpret, tries=tries)
+    return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
+
+
 def encode_block_host(data: bytes, interpret: bool | None = None):
     """Host wrapper (testing); returns compressed bytes or None when the
     block is incompressible."""

@@ -66,16 +66,17 @@ class Options:
     dictionary: Optional[bytes] = None
     worker_pool: Optional[object] = None  # object with submit(fn) -> future
     # "native" | "device" | "auto". DEVICE LEVEL MAPPING: the device
-    # (TPU) backend has three parse qualities, not twelve — levels <= 2
+    # (TPU) backend has four parse qualities, not twelve — levels <= 2
     # run the greedy kernel, levels 3-7 the depth-2 chain ("mid")
-    # kernel, and levels >= 8 the depth-4 chain (two more candidate
-    # tables; measured -0.6..-7.5% size for ~-19% speed). Ratios land
-    # between host L2 and L3 (~2.4-2.6 on enwik-class data vs 3.0 at
-    # native L12). Requesting backend="device", level=12 buys the
-    # depth-4 ratio at device throughput — a stated trade (pinned by
-    # tests/test_device_backend.py::test_device_level_mapping), not
-    # native-L12 parity. Use backend="native" when maximum ratio
-    # matters more than device residency.
+    # kernel, levels 8-9 the depth-4 chain (two more candidate tables;
+    # -0.6..-7.5% size for ~-19% speed), and levels >= 10 the deep
+    # hash-chain finder with lazy matching (walk budget 8/16/32 at
+    # 10/11/12) — within ~1.5% of native L9 ratio on the bench corpus
+    # at ~11-14 MB/s per chip. Requesting backend="device", level=12
+    # buys the deep-tier ratio at device throughput — a stated trade
+    # (pinned by test_device_backend.py::test_device_level_mapping),
+    # not native-L12 parity everywhere. Use backend="native" when
+    # maximum ratio matters more than device residency.
     backend: str = "auto"
     # write-side
     level: int = 1

@@ -262,3 +262,120 @@ def test_mid_kernel_dict_window():
     assert bool(okm)
     cm = np.asarray(om)[: int(tm)].tobytes()
     assert native.decompress(cm, len(data), dict_=dict_) == data
+
+
+@pytest.mark.parametrize("data_name,seed", [("text", 90), ("mixed", 92)])
+def test_deep_kernel_better_ratio_and_valid(data_name, seed):
+    """The deep hash-chain kernel (device levels >= 10) must emit valid
+    streams with ratio strictly better than the depth-4 tier below it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = make_compressible(6000, seed=seed)
+    N = max(16, (len(data) + 3) & ~3)
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    o4, t4, ok4 = encode_pallas.encode_block_pallas_mid(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True,
+        depth4=True)
+    od, td, okd = encode_pallas.encode_block_pallas_deep(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True)
+    assert bool(okd)
+    cd = np.asarray(od)[: int(td)].tobytes()
+    assert native.decompress(cd, len(data)) == data
+    assert int(td) < int(t4), (int(td), int(t4))
+
+
+@pytest.mark.parametrize("data", [
+    b"\x00" * 3000,
+    b"a",
+    b"abcabcabcabca",
+    b"abcd" * 700,
+    b"A" * 500 + b"xyz" * 100 + b"B" * 800,
+], ids=["zeros", "one", "short13", "period4", "runs"])
+def test_deep_kernel_edges(data):
+    """Deep-kernel edge shapes: long runs exercise the lazy loop and the
+    insert-all pass; tiny blocks must flag incompressible, never emit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    N = max(16, (len(data) + 3) & ~3)
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    od, td, okd = encode_pallas.encode_block_pallas_deep(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True, tries=8)
+    if bool(okd):
+        cd = np.asarray(od)[: int(td)].tobytes()
+        assert native.decompress(cd, len(data)) == data
+    else:
+        assert len(data) < 20 or len(native.compress(data)) >= len(data)
+
+
+def test_deep_kernel_dict_window():
+    """Window-prefix deep encode (small windows fit the chain budget;
+    the full 64 KiB device window falls back to depth-4 inside the
+    wrapper — both paths must produce dict-decodable streams)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dict_ = make_compressible(3000, seed=7)
+    data = dict_[500:2500] + make_compressible(1000, seed=8)
+    N = max(16, (len(data) + 3) & ~3)
+    D = (len(dict_) + 3) & ~3
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    dbuf = np.zeros(D, np.uint8)
+    dbuf[D - len(dict_):] = np.frombuffer(dict_, np.uint8)
+    od, td, okd = encode_pallas.encode_block_pallas_deep_dict(
+        jnp.asarray(buf), jnp.int32(len(data)), jnp.asarray(dbuf),
+        jnp.int32(len(dict_)), interpret=True)
+    assert bool(okd)
+    cd = np.asarray(od)[: int(td)].tobytes()
+    assert native.decompress(cd, len(data), dict_=dict_) == data
+    # the deep finder must reach the window: strictly better than the
+    # depth-4 dict path on this window-heavy payload
+    om, tm, _ = encode_pallas.encode_block_pallas_mid_dict(
+        jnp.asarray(buf), jnp.int32(len(data)), jnp.asarray(dbuf),
+        jnp.int32(len(dict_)), interpret=True, depth4=True)
+    assert int(td) < int(tm), (int(td), int(tm))
+
+
+def test_deep_kernel_fuzz_mixed():
+    """Randomized mixed payloads through the deep kernel at several walk
+    budgets — every compressible outcome must decode bit-exactly."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = random.Random(0)
+    for seed in range(8):
+        rng.seed(seed)
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            k = rng.randint(0, 3)
+            if k == 0:
+                parts.append(make_compressible(rng.randint(1, 2000),
+                                               seed=seed * 7 + 1))
+            elif k == 1:
+                parts.append(make_incompressible(rng.randint(1, 600),
+                                                 seed=seed * 7 + 2))
+            elif k == 2:
+                parts.append(bytes([rng.randint(0, 255)])
+                             * rng.randint(1, 700))
+            else:
+                parts.append((make_incompressible(rng.randint(2, 9),
+                                                  seed=seed * 7 + 3)
+                              * 300)[: rng.randint(1, 900)])
+        data = b"".join(parts)
+        N = max(16, (len(data) + 3) & ~3)
+        buf = np.zeros(N, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        for tries in (4, 32):
+            od, td, okd = encode_pallas.encode_block_pallas_deep(
+                jnp.asarray(buf), jnp.int32(len(data)), interpret=True,
+                tries=tries)
+            if bool(okd):
+                cd = np.asarray(od)[: int(td)].tobytes()
+                assert native.decompress(cd, len(data)) == data, \
+                    (seed, tries)
