@@ -267,6 +267,33 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
                 "block mismatched")
         _log("on-chip gate: dict-mode encode/decode kernels OK")
 
+    # --- deep-tier gate (round-4 fourth quality tier) -------------------
+    # One small block through the hash-chain finder kernel on the live
+    # chip: must decode via the native codec and compress strictly
+    # better than the depth-4 tier it sits above.
+    if use_pallas:
+        from plz4_tpu.ops import encode_pallas as _epq
+
+        q_data = blocks[0][:4096]
+        q_buf = np.frombuffer(q_data, np.uint8)
+        q_out, q_total, q_ok = _epq.encode_block_pallas_deep(
+            _jnp.asarray(q_buf), _jnp.int32(len(q_data)), tries=16)
+        if not bool(jax.device_get(q_ok)):
+            raise AssertionError("on-chip gate: deep encode kernel not ok")
+        q_len = int(jax.device_get(q_total))
+        q_comp = np.asarray(jax.device_get(q_out[:q_len])).tobytes()
+        if _native.decompress(q_comp, len(q_data)) != q_data:
+            raise AssertionError(
+                "on-chip gate: deep-tier block does not decode via the "
+                "native codec")
+        _, q4_total, _ = _epq.encode_block_pallas_mid(
+            _jnp.asarray(q_buf), _jnp.int32(len(q_data)), depth4=True)
+        if q_len >= int(jax.device_get(q4_total)):
+            raise AssertionError(
+                f"on-chip gate: deep tier ({q_len}) not better than "
+                f"depth-4 ({int(jax.device_get(q4_total))})")
+        _log("on-chip gate: deep-tier kernel OK")
+
     # Two-k differencing: time the SAME varying loop at k and k/4 and
     # divide the delta by the iteration delta. This cancels the tunnel's
     # fixed dispatch latency and — unlike subtracting a hoistable
