@@ -1005,7 +1005,9 @@ def _deep_fits(n_in: int, cap: int) -> bool:
 
 
 def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
-                        head_ref, chain_ref, tries: int = 16):
+                        head_ref, chain_ref, tries: int = 16,
+                        suff: int = 0, lazy_cap: int = 0,
+                        ins_step: int = 1):
     """HC-class chain-finder encode (device levels >= 10): byte-wide SMEM
     layout with a real hash-chain match finder — head_ref[h] holds the most
     recent position+1 for bucket h and chain_ref[p] the previous same-bucket
@@ -1071,8 +1073,11 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
         lo = jnp.maximum(first, p - MAX_DISTANCE)
 
         def w_cond(s):
-            cand, _, _, t = s
-            return (cand >= lo) & (t < tries)
+            cand, bl, _, t = s
+            ok = (cand >= lo) & (t < tries)
+            if suff:  # good-enough valve (lab knob; upstream targetLength)
+                ok = ok & (bl < suff)
+            return ok
 
         def w_body(s):
             cand, bl, bp, t = s
@@ -1194,8 +1199,11 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
             # lazy overlap: while the NEXT position holds a strictly longer
             # match, absorb this byte into the pending literals and move on
             def l_cond(s):
-                mip, _, _, go, _ = s
-                return (go != 0) & (mip + 1 <= mflimit)
+                mip, bl, _, go, _ = s
+                ok = (go != 0) & (mip + 1 <= mflimit)
+                if lazy_cap:  # skip lazy probes on long matches (lab knob)
+                    ok = ok & (bl < lazy_cap)
+                return ok
 
             def l_body(s):
                 mip, bl, bp, _, _ = s
@@ -1229,11 +1237,20 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
 
             # insert the positions the match covers (a real HC finder keys
             # every position; sources past mflimit are unreachable starts)
-            def ins(p, _):
-                insert(p)
-                return 0
+            ins_lim = jnp.minimum(nip, mflimit + 1)
+            if ins_step == 1:
+                def ins(p, _):
+                    insert(p)
+                    return 0
 
-            jax.lax.fori_loop(hi, jnp.minimum(nip, mflimit + 1), ins, 0)
+                jax.lax.fori_loop(hi, ins_lim, ins, 0)
+            else:  # strided insertion (lab knob: trade chain density)
+                def ins(t, _):
+                    insert(hi + t * ins_step)
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, (ins_lim - hi + ins_step - 1) // ins_step, ins, 0)
             return nip, nip, op2, (op2 > out_limit).astype(I32)
 
         ip, anchor, op, overflow = jax.lax.cond(found != 0, with_match,
@@ -1260,9 +1277,16 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
 
 def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
                       interpret: bool):
+    # lab knobs (trace-time env reads, fresh process per config — the
+    # PLZ4_MID_DEPTH4 pattern): good-enough valve / lazy cap / insert
+    # stride, for the on-chip deep-tier sweep (docs/perf_notes.md)
+    suff = int(os.environ.get("PLZ4_DEEP_SUFF", "0") or 0)
+    lazy_cap = int(os.environ.get("PLZ4_DEEP_LAZYCAP", "0") or 0)
+    ins_step = max(1, int(os.environ.get("PLZ4_DEEP_INSSTEP", "1") or 1))
     ci = combined_u8.astype(I32)
     ob, total, ok = pl.pallas_call(
-        functools.partial(_encode_kernel_deep, tries=tries),
+        functools.partial(_encode_kernel_deep, tries=tries, suff=suff,
+                          lazy_cap=lazy_cap, ins_step=ins_step),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
