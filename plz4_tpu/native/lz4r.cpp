@@ -53,6 +53,10 @@ struct CfStats {
     uint64_t span_reads = 0;  // chain-swap span-scan chain[] reads
     uint64_t ladder = 0;      // 5/4-gram recovery-ladder probes
     uint64_t seeded = 0;      // find() calls entered with a carried seed
+    uint64_t hc_finds = 0;    // chain-level search() calls (levels 2-8)
+    uint64_t hc_steps = 0;    // search() candidates visited
+    uint64_t hc_exts = 0;     // search() full extensions run
+    uint64_t hc_ext_bytes = 0;  // bytes counted by those extensions
     double pass1_s = 0.0;     // opt parse: match-finder pass seconds
     double pass2_s = 0.0;     // opt parse: DP pass seconds
     // dense pass-1 diagnostics for the sparse schedule: improvements
@@ -1367,6 +1371,7 @@ struct ChainFinder {
                  const uint8_t* matchlimit, int nb_attempts, int min_len,
                  int sufficient = SUFFICIENT_LEN) {
         insert_upto(ip);
+        PLZ4_STAT(++g_cfstats.hc_finds);
         uint32_t pos = (uint32_t)(ip - wbase);
         uint32_t h = hash4(read32(ip), hashlog);
         uint32_t cand = head[h];
@@ -1375,33 +1380,198 @@ struct ChainFinder {
         if (lowest < floor_pos) lowest = floor_pos;
         uint32_t first4 = read32(ip);
         int lookback = (int)(ip - low);
+        // Run-summary fast path (find()'s PaSum device; reference analog:
+        // LZ4HC_countPattern/rotatePattern, lz4hc.c:811-859): for pure-
+        // forward probes (lookback == 0 — the parse's m1 calls) inside
+        // byte-uniform runs, ONE summary walk per source run answers
+        // every in-run position exactly; the chain walk is skipped.
+        // Back-widened probes (m2/m3) keep the walk: the summary's
+        // forward-only answer cannot price their back extension.
+        if (lookback == 0 && first4 == 0x01010101u * (uint8_t)first4) {
+            const uint8_t pb = (uint8_t)first4;
+            const uint32_t mlpos = (uint32_t)(matchlimit - wbase);
+            if (!(pasum.valid && pasum.b == pb && pasum.src_start <= pos &&
+                  pos < pasum.src_end) &&
+                read32(ip + 4) == first4) {
+                // the build is gated on an 8-byte uniform prefix: short
+                // digit runs ("000123" ids in templated rows) fire the
+                // 4-byte test constantly and their builds cost more than
+                // the 1-3-step walks they replace (measured: boiler
+                // 30-35 -> 27 MB/s ungated); real runs pass trivially
+                int fwd0 = MINMATCH + count_run_fwd(ip + MINMATCH,
+                                                    matchlimit + LASTLITERALS,
+                                                    pb);
+                int back0 = count_run_bwd(ip, low_base, pb);
+                uint32_t s_end = pos + (uint32_t)fwd0;
+                // runs crossing matchlimit keep the walk (see find())
+                if (s_end <= mlpos)
+                    pa_build(ip, matchlimit, pb, lowest,
+                             pos - (uint32_t)back0, s_end);
+            }
+            if (pasum.valid && pasum.b == pb && pasum.src_start <= pos &&
+                pos < pasum.src_end &&
+                pasum.src_end - pos >= (uint32_t)gram) {
+                const uint8_t* q;
+                int l = pa_query(pos, lowest, &q);
+                if (l > best.len) {
+                    best.len = l;
+                    best.off = (int)(ip - q);
+                    best.back = 0;
+                }
+                return best;  // exact: nothing the chain walk could add
+            }
+        }
+        // chain-swap state (the find() device, adapted to back-widened
+        // scoring): after an improvement, re-pick the sparsest gram chain
+        // inside the best match's GUARANTEED-COVERED span. A beater's
+        // forward reach is >= best.len + 1 - lookback (its back part is
+        // capped by the pending bytes), so gram offsets
+        // j <= best.len - lookback - 4 lie inside every beater — for the
+        // dominant lookback == 0 probes this is exactly find()'s bound.
+        uint32_t mcp = 0;
+        bool need_swap = false;
+        int wasted = 0;  // steps since the last improvement: the swap only
+                         // pays on walks that are provably deep (shallow
+                         // walks — run boundaries, sparse buckets — end
+                         // before the span scan could amortize)
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
-            const uint8_t* mp = wbase + (cand - 1);
+            PLZ4_STAT(++g_cfstats.hc_steps);
+            ++wasted;
+            uint32_t cpos = cand - 1;
+            const uint8_t* mp = wbase + cpos;
+            // software pipelining (the find() device): the successor is a
+            // dependent chain load — issue it now and prefetch its head
+            // and boundary-probe lines so the next step's two scattered
+            // reads overlap this step's evaluation
+            uint32_t d_pre = chain[(cpos + mcp) & 0xFFFF];
+            if (d_pre) {
+                const uint8_t* nmp = mp - d_pre;
+                __builtin_prefetch(nmp, 0, 0);
+                __builtin_prefetch(nmp - lookback + best.len - 1, 0, 0);
+            }
             // boundary filter: a match beating best.len (assuming maximal
-            // back extension) must agree on the 2 bytes at that boundary
-            // (skipped when the hypothetical back-extended source would
-            // fall before the window base)
+            // back extension) must agree on the 4 bytes ending one past
+            // that boundary (skipped when the hypothetical back-extended
+            // source would fall before the window base)
+            // NOTE: a 4-byte probe (read32 at best.len - 3) was measured
+            // STRICTLY WORSE on size (+4.5 KB enwik, +3.9 KB silesia):
+            // the maximal-back hypothesis is wrong often enough that the
+            // wider probe rejects real beaters the 2-byte probe admits.
             if ((mp - low_base < lookback ||
                  read16(low + best.len - 1) ==
                      read16(mp - lookback + best.len - 1)) &&
                 read32(mp) == first4) {
+                PLZ4_STAT(++g_cfstats.hc_exts);
                 int fwd = MINMATCH + count_match(ip + MINMATCH, mp + MINMATCH,
                                                 matchlimit);
-                int back = 0;
-                while (ip - back > low && mp - back > low_base &&
-                       ip[-back - 1] == mp[-back - 1])
-                    ++back;
-                int total = fwd + back;
-                if (total > best.len) {
-                    best.len = total;
-                    best.off = (int)(ip - mp);
-                    best.back = back;
-                    if (ip + fwd >= matchlimit) break;
-                    if (total >= sufficient) break;
+                PLZ4_STAT(g_cfstats.hc_ext_bytes += fwd);
+                // back extension can add at most min(lookback, window
+                // headroom) — skip the byte loop when even that ceiling
+                // cannot beat best (exact; no quality change)
+                int back_cap = (int)(mp - low_base) < lookback
+                                   ? (int)(mp - low_base) : lookback;
+                if (fwd + back_cap > best.len) {
+                    int back = 0;
+                    while (ip - back > low && mp - back > low_base &&
+                           ip[-back - 1] == mp[-back - 1])
+                        ++back;
+                    int total = fwd + back;
+                    if (total > best.len) {
+                        best.len = total;
+                        best.off = (int)(ip - mp);
+                        best.back = back;
+                        if (ip + fwd >= matchlimit) break;
+                        if (total >= sufficient) break;
+                        need_swap = true;
+                        wasted = 0;
+                    }
                 }
             }
-            uint32_t d = chain[(cand - 1) & 0xFFFF];
-            cand = d ? cand - d : 0;  // delta walk; 0 / out-of-window ends
+            // --- chain swap: re-pick the sparsest gram chain in the
+            // guaranteed-covered span (see find() for the full argument;
+            // identical walk mechanics, span bound shrunk by lookback).
+            // Deferred until the walk has wasted >= 16 steps since the
+            // last improvement: shallow walks (run boundaries, sparse
+            // buckets) end before a span scan could amortize, and the
+            // deferral also shrinks the swap's skipped-candidate
+            // concession (measured: boiler -360 B, runs 187 -> 345 MB/s
+            // vs the immediate swap) ---
+            static const bool do_swap = [] {
+                const char* s = getenv("PLZ4_HC_SWAP");
+                return s && atoi(s);  // DEFAULT OFF — measured net-negative
+                // on the real corpora (boiler +360..+616 B, runs 364 ->
+                // 187-278 MB/s) despite enwik/silesia -200 B; the span
+                // scans cost more than the skipped steps save at chain
+                // levels, unlike find() where PaSum absorbs the dense
+                // cases first (docs/perf_notes.md round-4 HC session)
+            }();
+            if (need_swap && do_swap && wasted >= 16) {
+                need_swap = false;
+                uint32_t bpos = pos - (uint32_t)best.off;  // fwd-aligned src
+                int end = best.len - lookback - MINMATCH;
+                if (end >= 0 && bpos + (uint32_t)(best.len - best.back)
+                                    <= pos) {
+                    uint32_t bestd = 0, bmcp = 0;
+                    bool dead = false;
+                    int accel = 1 << 4;
+                    for (int p2 = 0; p2 <= end;) {
+                        PLZ4_STAT(++g_cfstats.span_reads);
+                        uint32_t q = bpos + (uint32_t)p2;
+                        uint32_t d = chain[q & 0xFFFF];
+                        if (d == 0 || q - d < floor_pos) {
+                            dead = true;
+                            bmcp = (uint32_t)p2;
+                            break;
+                        }
+                        if (d > bestd) {
+                            bestd = d;
+                            bmcp = (uint32_t)p2;
+                            accel = 1 << 4;
+                        }
+                        p2 += (accel++ >> 4);
+                    }
+                    if ((dead || bestd > 1) && cpos + bmcp >= pos) {
+                        // overlap zone: beaters here are main-bucket
+                        // members the singles walk already enumerates —
+                        // retry the swap once the walk leaves the zone
+                        need_swap = true;
+                    } else if (dead || bestd > 1) {
+                        PLZ4_STAT(++g_cfstats.swaps);
+                        mcp = bmcp;
+                        uint32_t m2 = head[hashp(ip + (int)mcp)];
+                        for (;;) {
+                            if (m2 == 0) break;
+                            uint32_t mem = m2 - 1;
+                            if (mem < floor_pos || mem < mcp) {
+                                m2 = 0;
+                                break;
+                            }
+                            if (mem - mcp < cpos) break;  // fresh candidate
+                            PLZ4_STAT(++g_cfstats.hc_steps);
+                            if (--nb_attempts < 0) {
+                                m2 = 0;
+                                break;
+                            }
+                            uint32_t dd = chain[mem & 0xFFFF];
+                            if (dd == 0) {
+                                m2 = 0;
+                                break;
+                            }
+                            m2 = mem - dd + 1;
+                        }
+                        if (m2 == 0) break;  // bucket exhausted: no beater
+                        cand = (m2 - 1) - mcp + 1;
+                        continue;
+                    }
+                }
+            }
+            // --- step within the current gram bucket ---
+            if (d_pre == 0) break;
+            {
+                uint32_t member = cpos + mcp - d_pre;
+                if (member < floor_pos || member < mcp) break;
+                cand = member - mcp + 1;
+            }
         }
         return best;
     }
@@ -2435,9 +2605,23 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
     if (src_size >= MFLIMIT + 1) {
         constexpr int OPTIMAL_ML = 18;  // (ML_MASK-1) + MINMATCH
         // level 9 walks chains without the good-enough cutoff (the cutoff
-        // trades a sliver of ratio for speed at the middle levels)
+        // trades a sliver of ratio for speed at the middle levels).
+        // PLZ4_HC_SUFF / PLZ4_HC_ATT are lab knobs for sweeping the
+        // chain-level (2-8) ladder; 0/unset = the shipped params.
+        static const int hc_suff_env = [] {
+            const char* s = getenv("PLZ4_HC_SUFF");
+            return s ? atoi(s) : 0;
+        }();
+        static const int hc_att_env = [] {
+            const char* s = getenv("PLZ4_HC_ATT");
+            return s ? atoi(s) : 0;
+        }();
         const int sufficient =
-            level >= 9 ? 0x7FFFFFFF : ChainFinder::SUFFICIENT_LEN;
+            level >= 9 ? 0x7FFFFFFF
+                       : (hc_suff_env > 0 ? hc_suff_env
+                                          : ChainFinder::SUFFICIENT_LEN);
+        const int eff_attempts = (level <= 8 && hc_att_env > 0)
+                                     ? hc_att_env : attempts;
         using Match = ChainFinder::Match;
         static thread_local ChainFinder tl_cf;
         ChainFinder& cf = ext ? *ext : tl_cf;
@@ -2448,7 +2632,8 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
         }
 
         while (ip <= mflimit) {
-            Match m1 = cf.search(ip, ip, matchlimit, attempts, MINMATCH - 1,
+            Match m1 = cf.search(ip, ip, matchlimit, eff_attempts,
+                                 MINMATCH - 1,
                                  sufficient);
             if (m1.off == 0) {
                 ++ip;
@@ -2462,7 +2647,7 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
         search2:
             if (ip + m1.len <= mflimit) {
                 start2 = ip + m1.len - 2;
-                m2 = cf.search(start2, ip, matchlimit, attempts, m1.len,
+                m2 = cf.search(start2, ip, matchlimit, eff_attempts, m1.len,
                                sufficient);
                 start2 -= m2.back;
             } else {
@@ -2510,7 +2695,7 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
                 Match m3;
                 if (start2 + m2.len <= mflimit) {
                     start3 = start2 + m2.len - 3;
-                    m3 = cf.search(start3, start2, matchlimit, attempts,
+                    m3 = cf.search(start3, start2, matchlimit, eff_attempts,
                                    m2.len, sufficient);
                     start3 -= m3.back;
                 } else {
