@@ -391,6 +391,8 @@ def bench_host(data: bytes, blocks: list[bytes], gb: float) -> float:
         cfgs = (
             ("linked-l6", dict(block_linked=True, level=6,
                                block_size_idx=4)),
+            ("hc-8", dict(level=8, block_size_idx=4)),  # the upstream-L9
+            # point: chain parse + PaSum (BASELINE.md L9 design note)
             ("hc-9", dict(level=9, block_size_idx=4)),
             ("hc-12", dict(level=12, block_size_idx=4)),
         )
