@@ -300,3 +300,32 @@ def test_frame_of_upstream_blocks_decodes():
     stream = b"".join(pieces)
     with Reader(io.BytesIO(stream)) as r:
         assert r.read() == payload
+
+
+def test_l8_is_the_upstream_l9_point():
+    """Round-4 capability pin (VERDICT r3 missing #2): level 8 — the
+    ladder's fast-high chain parse, with the PaSum run fast path — must
+    stay within a whisker of upstream LEVEL 9's size on the four lab
+    corpora (measured at 1 MiB: +0 enwik / +44 silesia / +0 boiler /
+    +5 runs). This is the "switch-over" point for upstream-L9 users:
+    near-tie size at 0.75-0.84x upstream-L9 single-thread speed
+    (BASELINE.md L9 design note). A finder regression that reopens the
+    old +700 B runs/silesia gaps fails here."""
+    from plz4_tpu import corpus as corpus_mod
+    from tools.bench_host_levels import boiler, runs
+
+    size = 1 << 20
+    corpora = {
+        "enwik": corpus_mod.enwik_like(size),
+        "silesia": corpus_mod.silesia_like(size),
+        "boiler": boiler(size),
+        "runs": runs(size),
+    }
+    total = 0
+    for name, data in corpora.items():
+        ours = len(native.compress(data, level=8))
+        theirs = len(up.compress(data, 9))
+        delta = ours - theirs
+        assert delta <= 100, (name, ours, theirs, delta)
+        total += max(0, delta)
+    assert total <= 150, total
