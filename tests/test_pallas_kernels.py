@@ -379,3 +379,45 @@ def test_deep_kernel_fuzz_mixed():
                 cd = np.asarray(od)[: int(td)].tobytes()
                 assert native.decompress(cd, len(data)) == data, \
                     (seed, tries)
+
+
+def test_deep_kernel_boundary_shapes():
+    """Boundary shapes for the deep kernel: runs ending at the match
+    limits, self-overlapping tails, periodic payloads, run soup, and
+    odd lengths — every compressible outcome decodes bit-exactly."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = random.Random(99)
+    for seed in range(12):
+        rng.seed(seed)
+        shape = seed % 6
+        if shape == 0:
+            data = make_compressible(2000, seed=seed) + b"\x00" * (12 + seed)
+        elif shape == 1:
+            data = b"\x00" * (1500 + seed) + make_incompressible(17,
+                                                                 seed=seed)
+        elif shape == 2:
+            p = make_incompressible(3 + seed % 14, seed=seed)
+            data = (p * 700)[: 2000 + seed]
+        elif shape == 3:
+            data = make_compressible(1500, seed=seed)
+            data = data + data[-(5 + seed % 8):]
+        elif shape == 4:
+            data = b"".join(bytes([rng.randrange(256)])
+                            * rng.randrange(1, 40) for _ in range(150))
+        else:
+            data = make_compressible(3000, seed=seed)[: 2993 + seed % 9]
+        N = max(16, (len(data) + 3) & ~3)
+        buf = np.zeros(N, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        for tries in (2, 16):
+            od, td, okd = encode_pallas.encode_block_pallas_deep(
+                jnp.asarray(buf), jnp.int32(len(data)), interpret=True,
+                tries=tries)
+            if bool(okd):
+                cd = np.asarray(od)[: int(td)].tobytes()
+                assert native.decompress(cd, len(data)) == data, \
+                    (seed, shape, tries)
