@@ -1045,12 +1045,13 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
 
     jax.lax.fori_loop(0, (1 << DEEP_HASH_LOG) // 8, tinit, 0)
 
-    def insert(p):
-        u = rd_u32(p)
+    def insert_u(p, u):
         h = hash4(u)
         chain_ref[p] = head_ref[h]
         head_ref[h] = p + 1
-        return h
+
+    def insert(p):
+        insert_u(p, rd_u32(p))
 
     # ---- window preload (linked/dict prefix) -----------------------------
     def wload(p, _):
@@ -1176,21 +1177,24 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
     def body(state):
         ip, anchor, op, overflow = state
 
-        # scan: insert every visited position, stop at the first >= 4 match
+        # scan: insert every visited position, stop at the first >= 4 match.
+        # The current 4-byte word is loop-carried (shift in one fresh byte
+        # per advance: 1 load + 3 ops vs the 7-op rd_u32 rebuild).
         def s_cond(s):
-            sip, _, found, _ = s
+            sip, _, found, _, _ = s
             return (found == 0) & (sip <= mflimit)
 
         def s_body(s):
-            sip, _, _, _ = s
-            insert(sip)
+            sip, _, _, _, u = s
+            insert_u(sip, u)
             bl, bp = walk(sip, jnp.int32(3))
             found = (bl >= 4).astype(I32)
-            return sip + 1 - found, bl, found, bp
+            u2 = jax.lax.shift_right_logical(u, 8) | (c_ref[sip + 4] << 24)
+            return sip + 1 - found, bl, found, bp, u2
 
-        sip, blen, found, bpos = jax.lax.while_loop(
+        sip, blen, found, bpos, _ = jax.lax.while_loop(
             s_cond, s_body,
-            (ip, jnp.int32(3), jnp.int32(0), jnp.int32(0)))
+            (ip, jnp.int32(3), jnp.int32(0), jnp.int32(0), rd_u32(ip)))
 
         def no_match():
             return sip, anchor, op, jnp.int32(0)
@@ -1236,14 +1240,16 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
             nip = mip + mlen
 
             # insert the positions the match covers (a real HC finder keys
-            # every position; sources past mflimit are unreachable starts)
+            # every position; sources past mflimit are unreachable starts).
+            # Sequential positions: carry the word here too.
             ins_lim = jnp.minimum(nip, mflimit + 1)
             if ins_step == 1:
-                def ins(p, _):
-                    insert(p)
-                    return 0
+                def ins(p, u):
+                    insert_u(p, u)
+                    return (jax.lax.shift_right_logical(u, 8)
+                            | (c_ref[p + 4] << 24))
 
-                jax.lax.fori_loop(hi, ins_lim, ins, 0)
+                jax.lax.fori_loop(hi, ins_lim, ins, rd_u32(hi))
             else:  # strided insertion (lab knob: trade chain density)
                 def ins(t, _):
                     insert(hi + t * ins_step)

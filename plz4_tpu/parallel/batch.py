@@ -38,7 +38,7 @@ def _use_pallas() -> bool:
 
 # deep-tier (device levels >= 10) chain-walk budgets: the device analog
 # of the reference's per-level attempt ladder (clz4/lz4hc.c k_clTable);
-# measured on chip at 13.8/11.6/11.2 MB/s per chip for ratio
+# measured on chip at 14.7/12.4/11.8 MB/s per chip for ratio
 # 2.474/2.489/2.492 on the bench corpus (docs/perf_notes.md round-4)
 _DEEP_TRIES = {10: 8, 11: 16, 12: 32}
 
