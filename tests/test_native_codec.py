@@ -380,3 +380,38 @@ def test_fwd_parse_tight_cap_returns_none(level):
     API's retry-growth path depends on this) at the fwd-parse levels."""
     data = make_incompressible(8192, seed=3)
     assert native.compress_into(data, dst_cap=64, level=level) is None
+
+
+def test_hc_lab_knobs_subprocess():
+    """The env-gated chain-finder lab knobs (PLZ4_HC_SWAP / PLZ4_HC_ATT /
+    PLZ4_HC_SUFF — read once via static init, so they need a fresh
+    process) must keep the codec correct: roundtrip at the chain levels
+    and decode via the plain-config codec. Keeps the gated paths from
+    rotting while they stay off by default."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from plz4_tpu import native\n"
+        "from conftest_helpers import payload\n"
+        "data = payload()\n"
+        "for lvl in (2, 5, 8):\n"
+        "    c = native.compress(data, level=lvl)\n"
+        "    assert native.decompress(c, len(data)) == data, lvl\n"
+        "print('ok', flush=True)\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    helper = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "conftest_helpers.py")
+    for env_extra in ({"PLZ4_HC_SWAP": "1"},
+                      {"PLZ4_HC_ATT": "768"},
+                      {"PLZ4_HC_SUFF": "64"},
+                      {"PLZ4_HC_SWAP": "1", "PLZ4_HC_ATT": "512",
+                       "PLZ4_HC_SUFF": "96"}):
+        env = dict(os.environ, **env_extra)
+        env["PYTHONPATH"] = os.path.dirname(helper)
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and "ok" in r.stdout, \
+            (env_extra, r.stdout, r.stderr)
