@@ -1428,6 +1428,15 @@ struct ChainFinder {
         // capped by the pending bytes), so gram offsets
         // j <= best.len - lookback - 4 lie inside every beater — for the
         // dominant lookback == 0 probes this is exactly find()'s bound.
+        // DEFAULT OFF — measured net-negative on the real corpora
+        // (boiler +360..+616 B, runs 364 -> 187-278 MB/s) despite
+        // enwik/silesia -200 B; the span scans cost more than the skipped
+        // steps save at chain levels, unlike find() where PaSum absorbs
+        // the dense cases first (docs/perf_notes.md round-4 HC session)
+        static const bool s_do_swap = [] {
+            const char* s = getenv("PLZ4_HC_SWAP");
+            return s && atoi(s);
+        }();
         uint32_t mcp = 0;
         bool need_swap = false;
         int wasted = 0;  // steps since the last improvement: the swap only
@@ -1496,16 +1505,7 @@ struct ChainFinder {
             // deferral also shrinks the swap's skipped-candidate
             // concession (measured: boiler -360 B, runs 187 -> 345 MB/s
             // vs the immediate swap) ---
-            static const bool do_swap = [] {
-                const char* s = getenv("PLZ4_HC_SWAP");
-                return s && atoi(s);  // DEFAULT OFF — measured net-negative
-                // on the real corpora (boiler +360..+616 B, runs 364 ->
-                // 187-278 MB/s) despite enwik/silesia -200 B; the span
-                // scans cost more than the skipped steps save at chain
-                // levels, unlike find() where PaSum absorbs the dense
-                // cases first (docs/perf_notes.md round-4 HC session)
-            }();
-            if (need_swap && do_swap && wasted >= 16) {
+            if (need_swap && s_do_swap && wasted >= 16) {
                 need_swap = false;
                 uint32_t bpos = pos - (uint32_t)best.off;  // fwd-aligned src
                 int end = best.len - lookback - MINMATCH;
