@@ -1443,6 +1443,9 @@ struct ChainFinder {
                          // pays on walks that are provably deep (shallow
                          // walks — run boundaries, sparse buckets — end
                          // before the span scan could amortize)
+        // hoisted src-side boundary probe (find()'s pat4 device):
+        // refreshed only on improvement
+        uint16_t pat2 = read16(low + best.len - 1);
         while (cand != 0 && cand - 1 >= lowest && nb_attempts--) {
             PLZ4_STAT(++g_cfstats.hc_steps);
             ++wasted;
@@ -1467,8 +1470,7 @@ struct ChainFinder {
             // the maximal-back hypothesis is wrong often enough that the
             // wider probe rejects real beaters the 2-byte probe admits.
             if ((mp - low_base < lookback ||
-                 read16(low + best.len - 1) ==
-                     read16(mp - lookback + best.len - 1)) &&
+                 pat2 == read16(mp - lookback + best.len - 1)) &&
                 read32(mp) == first4) {
                 PLZ4_STAT(++g_cfstats.hc_exts);
                 int fwd = MINMATCH + count_match(ip + MINMATCH, mp + MINMATCH,
@@ -1493,6 +1495,7 @@ struct ChainFinder {
                         if (total >= sufficient) break;
                         need_swap = true;
                         wasted = 0;
+                        pat2 = read16(low + best.len - 1);
                     }
                 }
             }
