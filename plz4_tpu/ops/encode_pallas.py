@@ -1007,7 +1007,7 @@ def _deep_fits(n_in: int, cap: int) -> bool:
 def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
                         head_ref, chain_ref, tries: int = 16,
                         suff: int = 0, lazy_cap: int = 0,
-                        ins_step: int = 1):
+                        ins_step: int = 1, probe2: bool = False):
     """HC-class chain-finder encode (device levels >= 10): byte-wide SMEM
     layout with a real hash-chain match finder — head_ref[h] holds the most
     recent position+1 for bucket h and chain_ref[p] the previous same-bucket
@@ -1083,6 +1083,8 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
         def w_body(s):
             cand, bl, bp, t = s
             hit = (c_ref[cand + bl] == c_ref[p + bl])
+            if probe2:  # lab knob: second probe byte (stronger filter)
+                hit = hit & (c_ref[cand + bl - 1] == c_ref[p + bl - 1])
 
             def e_cond(es):
                 _, act = es
@@ -1292,10 +1294,12 @@ def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
     suff = int(os.environ.get("PLZ4_DEEP_SUFF", "0") or 0)
     lazy_cap = int(os.environ.get("PLZ4_DEEP_LAZYCAP", "64") or 0)
     ins_step = max(1, int(os.environ.get("PLZ4_DEEP_INSSTEP", "1") or 1))
+    probe2 = bool(os.environ.get("PLZ4_DEEP_PROBE2"))
     ci = combined_u8.astype(I32)
     ob, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel_deep, tries=tries, suff=suff,
-                          lazy_cap=lazy_cap, ins_step=ins_step),
+                          lazy_cap=lazy_cap, ins_step=ins_step,
+                          probe2=probe2),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
