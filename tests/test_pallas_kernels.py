@@ -421,3 +421,32 @@ def test_deep_kernel_boundary_shapes():
                 cd = np.asarray(od)[: int(td)].tobytes()
                 assert native.decompress(cd, len(data)) == data, \
                     (seed, shape, tries)
+
+
+def test_deep_kernel_oversize_fallback():
+    """Blocks whose chain array exceeds the SMEM element budget must
+    take the depth-4 fallback inside the deep wrapper (device frames
+    clamp to 64 KiB so this never fires on TPU, but the guard is the
+    safety net for raw kernel users) — outputs must equal the depth-4
+    kernel exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plz4_tpu.ops.encode_pallas import _deep_fits
+
+    N = 128 * 1024
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    assert not _deep_fits(N + 8, CAP)  # the premise of this test
+    data = make_compressible(2000, seed=3)
+    buf = np.zeros(N, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    od, td, okd = encode_pallas.encode_block_pallas_deep(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True)
+    o4, t4, ok4 = encode_pallas.encode_block_pallas_mid(
+        jnp.asarray(buf), jnp.int32(len(data)), interpret=True,
+        depth4=True)
+    assert bool(okd) == bool(ok4) and int(td) == int(t4)
+    assert np.array_equal(np.asarray(od)[: int(td)],
+                          np.asarray(o4)[: int(t4)])
+    assert native.decompress(
+        np.asarray(od)[: int(td)].tobytes(), len(data)) == data
