@@ -2524,6 +2524,10 @@ int compress_opt_t(const uint8_t* wbase, const uint8_t* src, int src_size,
     return op ? (int)(op - dst) : 0;
 }
 
+int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
+                uint8_t* dst, int dst_cap, int level,
+                ChainFinder* ext);
+
 int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                  uint8_t* dst, int dst_cap, int level) {
     // Levels 9-10 (and L11 blocks > 1 MiB): the DP with SPARSE pass-1
@@ -2544,22 +2548,70 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
     const bool sparse_ok =
         level <= sparse_max && (level <= 10 || src_size > (1 << 20));
     if (sparse_ok && src_size < (1 << 28)) {
-        // Run-dominated blocks take the dense scan: PaSum answers in-run
-        // finds in O(1) there (the scan is NOT the bottleneck), and the
-        // dense DP's run handling is already measured at full margin.
-        // 128 sampled positions estimate the byte-run fraction; a wrong
-        // guess only trades speed between two contract-safe parses.
+        // Run-dominated AND tiny-alphabet blocks take the dense scan:
+        // PaSum answers in-run finds in O(1) (the scan is NOT the
+        // bottleneck there), and on small alphabets (<= 16 distinct
+        // bytes: 4-symbol soup, DNA-like data) every 4-gram bucket is
+        // dense, the coverage-extension schedule degenerates, and the
+        // dense DP measured BOTH smaller (-7.2 KB on a 162 KB 4-symbol
+        // block, beating upstream L9 by 3.5 KB where sparse LOST 3.7 KB)
+        // and 2.5x faster. 128 sampled read32s estimate both signals; a
+        // wrong guess only trades speed between two contract-safe parses.
         if (src_size >= 4096) {
             int uniform = 0;
+            uint64_t seen[4] = {0, 0, 0, 0};
+            int laghit[17] = {};  // short-lag 4-gram autocorrelation
             int stride = src_size / 128;
             for (int t = 0; t < 128; ++t) {
                 const uint8_t* p = src + (size_t)t * stride;
                 uint32_t v = read32(p);
                 uniform += (v == 0x01010101u * (uint8_t)v);
+                for (int b = 0; b < 4; ++b) {
+                    uint8_t c = (uint8_t)(v >> (8 * b));
+                    seen[c >> 6] |= 1ull << (c & 63);
+                }
+                for (int lag = 2; lag <= 16; ++lag)
+                    laghit[lag] += (read32(p + lag) == v);
             }
-            if (uniform > 64)
+            int distinct = __builtin_popcountll(seen[0]) +
+                           __builtin_popcountll(seen[1]) +
+                           __builtin_popcountll(seen[2]) +
+                           __builtin_popcountll(seen[3]);
+            int maxlag = 0;
+            for (int lag = 2; lag <= 16; ++lag)
+                if (laghit[lag] > maxlag) maxlag = laghit[lag];
+            if (uniform > 64) {
+                // run-dominated: dense at the SAME level (PaSum + the
+                // level's own params already win here at full margin)
                 return compress_opt_t<int32_t>(wbase, src, src_size, dst,
                                                dst_cap, level);
+            }
+            if (maxlag > 96 && level <= 10) {
+                // Mutated short-period blocks (period 2-16 tiles with
+                // scattered mutations — their SAMPLED alphabet is tiny
+                // too, so this arm must run before the distinct check):
+                // matches are period-truncated at every mutation and
+                // every 4-gram bucket holds a candidate each period, so
+                // BOTH DP modes degenerate — the sparse schedule lost
+                // 1.3-6.5 KB to upstream L9 at ~2 MB/s and every
+                // deep-walk param set crawls at 0.05-0.06 MB/s (param
+                // bisect, docs/perf_notes.md). The CHAIN parse with the
+                // good-enough valve is the right tool: seed 2015516,
+                // 448 KB: 34622 B at 26 MB/s vs sparse-DP 41002 at
+                // 2 MB/s and upstream-L9 34536 at 32 (level 8 explicitly:
+                // level >= 9 would lift the valve and re-enter the
+                // pathology). L12's exact ties are never rerouted.
+                return compress_hc(wbase, src, src_size, dst, dst_cap, 8,
+                                   nullptr);
+            }
+            if (distinct <= 16) {
+                // tiny alphabet (4-symbol soup, DNA-like): 4-gram
+                // buckets are dense and the coverage-extension schedule
+                // degenerates — the dense scan at the level's own params
+                // measured both smaller AND 2.5x faster
+                return compress_opt_t<int32_t>(wbase, src, src_size, dst,
+                                               dst_cap, level);
+            }
         }
         return compress_opt_t<int32_t, /*SPARSE=*/true>(
             wbase, src, src_size, dst, dst_cap, level);
