@@ -93,6 +93,45 @@ def enwik_like(size: int, seed: int = 20060303) -> bytes:
     return bytes(out[:size])
 
 
+def runs_mix(size: int, seed: int = 7) -> bytes:
+    """Byte runs interleaved with text — the runs4m conformance class
+    (long single-byte runs force the far-carry / long-run machinery in
+    the optimal parse; see docs/perf_notes.md runs4m)."""
+    rng = np.random.default_rng(seed)
+    text = enwik_like(min(size, 1 << 20), seed=seed + 1)
+    out = bytearray()
+    ti = 0
+    while len(out) < size:
+        if rng.random() < 0.5:
+            out += bytes([int(rng.integers(0, 256))]) * int(
+                rng.integers(20, 4000))
+        else:
+            n = int(rng.integers(200, 3000))
+            out += text[ti % len(text): ti % len(text) + n]
+            ti += n
+    return bytes(out[:size])
+
+
+def fixture_payload(spec: dict) -> bytes:
+    """Deterministic payload from a manifest spec — the committed
+    conformance fixtures (tests/fixtures/, tools/gen_fixtures.py) record
+    these specs instead of the raw content so only the compressed frames
+    plus hashes live in git (reference analog: the pinned-sha256 sample
+    scheme of internal/test/samples/README.md)."""
+    kind, size = spec["kind"], int(spec["size"])
+    seed = spec.get("seed")
+    if kind == "enwik":
+        return enwik_like(size, **({"seed": seed} if seed else {}))
+    if kind == "silesia":
+        return silesia_like(size, **({"seed": seed} if seed else {}))
+    if kind == "runs":
+        return runs_mix(size, **({"seed": seed} if seed else {}))
+    if kind == "random":
+        rng = np.random.default_rng(seed if seed is not None else 99)
+        return rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+    raise ValueError(f"unknown fixture payload kind {kind!r}")
+
+
 def silesia_like(size: int, seed: int = 2003) -> bytes:
     """Mixed-mode corpus in Silesia's spirit: concatenated segments of
     text, structured records, sparse binary, and incompressible data."""
