@@ -93,6 +93,31 @@ def enwik_like(size: int, seed: int = 20060303) -> bytes:
     return bytes(out[:size])
 
 
+def byte_runs(size: int, seed: int = 9) -> bytes:
+    """Byte runs interleaved with random text — the runs4m sweep-lab class
+    (long period-1 runs exercise the pattern-analysis / long-run DP
+    machinery; see docs/perf_notes.md). Shared by tools/bench_host_levels
+    and the conformance suite's runs-class contract row."""
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    while len(out) < size:
+        out += bytes([int(rng.integers(0, 4))]) * int(rng.integers(64, 8192))
+        out += rng.integers(32, 127, int(rng.integers(20, 200)),
+                            dtype=np.uint8).tobytes()
+    return bytes(out[:size])
+
+
+def boiler_rows(size: int, seed: int = 7) -> bytes:
+    """Templated rows: medium-length repeats at thousands of offsets."""
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    tmpl = (b'<row id="%06d" class="item item-%d" state="ok">'
+            b'<name>unit %05d</name><value>%d.%03d</value></row>\n')
+    while len(out) < size:
+        out += tmpl % tuple(int(x) for x in rng.integers(0, 1000, 5))
+    return bytes(out[:size])
+
+
 def runs_mix(size: int, seed: int = 7) -> bytes:
     """Byte runs interleaved with text — the runs4m conformance class
     (long single-byte runs force the far-carry / long-run machinery in

@@ -329,3 +329,43 @@ def test_l8_is_the_upstream_l9_point():
         assert delta <= 100, (name, ours, theirs, delta)
         total += max(0, delta)
     assert total <= 150, total
+
+
+def test_runs_class_contract_pinned_exception():
+    """Runs-class size contract (VERDICT r4 directive #2): the byte-runs
+    corpus is the ONE class where "size <= upstream at every level" has
+    known, argued exceptions — pinned here so the contract's edge is a
+    test, not a perf-notes footnote. Two levels lose by a bounded hair:
+
+      * L9: upstream's hashChain heuristic lands 3-4 B/MiB below our
+        sparse-scheduled exact DP (measured -4 B at 1 MiB, -13 B at
+        4 MiB). The exhaustive pass-1 parameters that tie it exactly
+        (skip_len=inf, valve off) are rejected because they admit the
+        mutated-short-period pathology class (~2 MB/s crawls, measured
+        round 4; docs/perf_notes.md "Known residuals").
+      * L1: greedy parse-choice noise, ~6-15 B/MiB (measured -6 B at
+        1 MiB, -60 B at 4 MiB): our greedy occasionally takes a long
+        FAR match that ends mid-run and pays an extra sequence where
+        upstream hits the period-2 RLE continuation two bytes later
+        (sequence-stream diff, round 5). Mimicking upstream's exact
+        table policy pointwise would forfeit the L2-8 wins below.
+
+    Bounds: L1 <= 12 B and L9 <= 8 B at 1 MiB (3x measured headroom,
+    0.004%/0.003% of output); every other level must win or tie
+    outright (we beat upstream by +163 B (L8) to +463 B (L2) and
+    +97..+166 B at L10-12 on this class), and streams stay bit-exact
+    both ways."""
+    from plz4_tpu import corpus as corpus_mod
+
+    data = corpus_mod.byte_runs(1 << 20)
+    bounds = {1: 12, 9: 8}
+    for level in range(1, 13):
+        ours_c = native.compress(data, level=level)
+        theirs_c = up.compress(data, level)
+        delta = len(ours_c) - len(theirs_c)
+        assert delta <= bounds.get(level, 0), (
+            level, len(ours_c), len(theirs_c), delta)
+        # conformance is two-sided: both streams decode bit-exactly on
+        # the other implementation's decoder
+        assert up.decompress(ours_c, len(data)) == data
+        assert native.decompress(theirs_c, len(data)) == data

@@ -26,26 +26,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from plz4_tpu import corpus, native  # noqa: E402
 
 
-def boiler(size: int, seed: int = 7) -> bytes:
-    """Templated rows: medium-length repeats at thousands of offsets."""
-    rng = np.random.default_rng(seed)
-    out = bytearray()
-    tmpl = (b'<row id="%06d" class="item item-%d" state="ok">'
-            b'<name>unit %05d</name><value>%d.%03d</value></row>\n')
-    while len(out) < size:
-        out += tmpl % tuple(int(x) for x in rng.integers(0, 1000, 5))
-    return bytes(out[:size])
-
-
-def runs(size: int, seed: int = 9) -> bytes:
-    """Byte runs interleaved with text: exercises pattern analysis."""
-    rng = np.random.default_rng(seed)
-    out = bytearray()
-    while len(out) < size:
-        out += bytes([int(rng.integers(0, 4))]) * int(rng.integers(64, 8192))
-        out += rng.integers(32, 127, int(rng.integers(20, 200)),
-                            dtype=np.uint8).tobytes()
-    return bytes(out[:size])
+# canonical constructions live in plz4_tpu.corpus (shared with the
+# conformance suite's runs-class contract row)
+boiler = corpus.boiler_rows
+runs = corpus.byte_runs
 
 
 def bench_one(data: bytes, level: int, reps: int) -> tuple[float, int]:
