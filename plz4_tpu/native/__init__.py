@@ -196,6 +196,14 @@ def _load():
         lib.lz4r_xxh32_digest.restype = ctypes.c_uint32
         lib.lz4r_xxh32_digest.argtypes = [ctypes.c_void_p]
         lib.lz4r_xxh32_free.argtypes = [ctypes.c_void_p]
+        # device large-block control plane (stitch / split)
+        lib.lz4r_stitch_chunks.restype = ctypes.c_int64
+        lib.lz4r_stitch_chunks.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, u8p, i64p, i32p,
+            ctypes.c_int, u8p, ctypes.c_int64]
+        lib.lz4r_chunk_split.restype = ctypes.c_int
+        lib.lz4r_chunk_split.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, i64p, ctypes.c_int]
         _mk_fast(lib)
         _lib = lib
     return _lib
@@ -654,3 +662,61 @@ class Xxh32Stream:
             self._lib.lz4r_xxh32_free(self._st)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Device large-block control plane (see lz4r.cpp "Device large-block
+# support"): the TPU kernels are SMEM-resident and chunk-sized, so blocks
+# larger than 64 KiB are encoded as independent window-prefixed chunks and
+# stitched into one standard LZ4 block stream, and decoded by splitting the
+# stream at sequence boundaries into carry-annotated chunk records
+# (reference block-size classes go to 4 MiB: descriptor/index.go:92-125).
+# ---------------------------------------------------------------------------
+
+def stitch_chunks(src, chunk: int, streams: list[bytes]) -> bytes | None:
+    """Merge per-chunk LZ4 streams (chunk i encoded with chunk i-1 as its
+    window) into one LZ4 block stream for `src`. Returns None if the
+    stitched stream is malformed or exceeds the compress bound (callers
+    store the block raw)."""
+    lib = _load()
+    n = len(src)
+    joined = b"".join(streams)
+    offs = np.zeros(len(streams), dtype=np.int64)
+    slens = np.zeros(len(streams), dtype=np.int32)
+    pos = 0
+    for i, s in enumerate(streams):
+        offs[i] = pos
+        slens[i] = len(s)
+        pos += len(s)
+    cap = n + n // 255 + 64
+    dst = buffer_pool.take(cap)
+    try:
+        got = lib.lz4r_stitch_chunks(
+            _as_u8p(src), n, chunk, _as_u8p(joined),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            slens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(streams), _as_u8p(dst), cap)
+        if got < 0:
+            return None
+        return dst[:got].tobytes()
+    finally:
+        buffer_pool.give(dst)
+
+
+def chunk_split(comp, chunk: int, max_out: int) -> np.ndarray | None:
+    """Split a compressed LZ4 block into decode records of <= `chunk`
+    output bytes each. Returns an (n_rec, 8) int64 array
+    [in_off, in_len, pre_lit, pre_skip, pre_moff, pre_mlen, out_len, 0]
+    or None when the stream is malformed / decodes past max_out."""
+    lib = _load()
+    max_recs = max_out // chunk + 2
+    recs = np.zeros((max_recs, 8), dtype=np.int64)
+    got = lib.lz4r_chunk_split(
+        _as_u8p(comp), len(comp), chunk,
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_recs)
+    if got < 0:
+        return None
+    recs = recs[:got]
+    if int(recs[:, 6].sum()) > max_out:
+        return None
+    return recs

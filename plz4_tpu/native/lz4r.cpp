@@ -3596,3 +3596,283 @@ LZ4R_API void lz4r_compress_batch_ptrs(const uint8_t** srcs,
                                      dst_cap_each, level, nullptr, 0);
     }
 }
+
+// ---------------------------------------------------------------------------
+// Device large-block support (host control plane).
+//
+// The TPU encode/decode kernels are SMEM-resident and sized for <= 64 KiB
+// chunks, but the frame format's block-size classes go to 4 MiB
+// (reference: internal/pkg/descriptor/index.go:92-125, default 4 MiB
+// plz4_opts.go:238-255). A large block is handled as K chunks of `chunk`
+// bytes of OUTPUT each:
+//
+//   * encode: every chunk is encoded INDEPENDENTLY (in parallel on device)
+//     through the window-prefix kernel with the previous chunk as window —
+//     for chunk >= 64 KiB the true LZ4 window of every position is fully
+//     contained in [prev chunk | current chunk], so per-chunk streams carry
+//     exactly the matches a monolithic encoder could reach.
+//     lz4r_stitch_chunks then merges the K per-chunk streams into ONE
+//     standard LZ4 block stream: a chunk stream ends with a literals-only
+//     sequence (not representable mid-block), so each chunk's trailing
+//     literal run is carried into the next chunk's first sequence token.
+//
+//   * decode: lz4r_chunk_split walks the sequence structure of a compressed
+//     block (control-plane only: it skips literal bytes, ~10x cheaper than
+//     decoding) and cuts it into records each producing <= chunk bytes of
+//     output, with carry metadata for sequences that cross a cut: pending
+//     literal bytes at the slice start, header bytes to skip, and a pending
+//     match (offset kept, length split). The device then decodes the
+//     records sequentially in one dispatch (lax.scan carrying the 64 KiB
+//     window); bulk byte movement stays on device.
+// ---------------------------------------------------------------------------
+
+// Merge K chunk streams into one LZ4 block stream for src[0..src_len).
+// streams+offs[i]..+slens[i] is chunk i's stream (a complete block stream
+// of src[i*chunk .. min((i+1)*chunk, src_len))). Returns the stitched
+// length, or -1 on malformed input / insufficient dst_cap.
+LZ4R_API int64_t lz4r_stitch_chunks(const uint8_t* src, int64_t src_len,
+                                    int32_t chunk, const uint8_t* streams,
+                                    const int64_t* offs, const int32_t* slens,
+                                    int k, uint8_t* dst, int64_t dst_cap) {
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dst_cap;
+    int64_t pending = 0;  // literal bytes pending, ending at i*chunk
+    for (int i = 0; i < k; ++i) {
+        const uint8_t* s = streams + offs[i];
+        const uint8_t* const send = s + slens[i];
+        const int64_t cstart = (int64_t)i * chunk;
+        int64_t clen_i = src_len - cstart;
+        if (clen_i > chunk) clen_i = chunk;
+        if (clen_i <= 0) break;
+        // one forward parse: first sequence shape + final literal run
+        const uint8_t* ip = s;
+        const uint8_t* first_tok = nullptr;   // first sequence WITH a match
+        int64_t first_lit = 0;
+        const uint8_t* first_match = nullptr; // its offset/matchext bytes
+        const uint8_t* last_tok = nullptr;    // final literals-only sequence
+        int64_t last_lit = 0;
+        while (ip < send) {
+            const uint8_t* tok = ip;
+            uint32_t t = *ip++;
+            int64_t lit = t >> 4;
+            if (lit == 15) {
+                uint8_t b;
+                do {
+                    if (ip >= send) return -1;
+                    b = *ip++;
+                    lit += b;
+                } while (b == 255);
+            }
+            if (ip + lit > send) return -1;
+            const uint8_t* litp = ip;
+            ip += lit;
+            if (ip == send) {  // final sequence: literals only
+                last_tok = tok;
+                last_lit = lit;
+                break;
+            }
+            if (!first_tok) {
+                first_tok = tok;
+                first_lit = lit;
+                first_match = ip;
+            }
+            if (ip + 2 > send) return -1;
+            ip += 2;  // match offset
+            if ((t & 15) == 15) {
+                uint8_t b;
+                do {
+                    if (ip >= send) return -1;
+                    b = *ip++;
+                } while (b == 255);
+            }
+        }
+        if (!last_tok) return -1;  // stream did not end in literals
+        if (!first_tok) {
+            // pure-literal chunk: the whole chunk joins the pending run
+            if (last_lit != clen_i) return -1;
+            pending += clen_i;
+            continue;
+        }
+        // rewritten first sequence: pending + first_lit literals (the
+        // bytes are contiguous in src, ending at cstart + first_lit)
+        int64_t newlit = pending + first_lit;
+        int64_t hdr = 1 + (newlit >= 15 ? 1 + (newlit - 15) / 255 : 0);
+        if (op + hdr + newlit > oend) return -1;
+        uint8_t mt = first_tok[0] & 0x0F;
+        if (newlit >= 15) {
+            *op++ = (uint8_t)(0xF0 | mt);
+            int64_t v = newlit - 15;
+            while (v >= 255) {
+                *op++ = 255;
+                v -= 255;
+            }
+            *op++ = (uint8_t)v;
+        } else {
+            *op++ = (uint8_t)((newlit << 4) | mt);
+        }
+        memcpy(op, src + cstart - pending, (size_t)newlit);
+        op += newlit;
+        // middle of the stream verbatim: first seq's match fields through
+        // the byte before the final literals-only token
+        int64_t mid = last_tok - first_match;
+        if (op + mid > oend) return -1;
+        memcpy(op, first_match, (size_t)mid);
+        op += mid;
+        pending = last_lit;  // ends at cstart + clen_i
+    }
+    // single final literals-only sequence for the whole block
+    int64_t hdr = 1 + (pending >= 15 ? 1 + (pending - 15) / 255 : 0);
+    if (op + hdr + pending > oend) return -1;
+    if (pending >= 15) {
+        *op++ = 0xF0;
+        int64_t v = pending - 15;
+        while (v >= 255) {
+            *op++ = 255;
+            v -= 255;
+        }
+        *op++ = (uint8_t)v;
+    } else {
+        *op++ = (uint8_t)(pending << 4);
+    }
+    memcpy(op, src + src_len - pending, (size_t)pending);
+    op += pending;
+    return op - dst;
+}
+
+// Record layout (8 int64 per record, numpy-friendly):
+//   [0] in_off   offset of the record's input slice in the block stream
+//   [1] in_len   slice length
+//   [2] pre_lit  literal bytes at slice start copied verbatim to output
+//   [3] pre_skip header bytes after them to skip (the crossing sequence's
+//                match offset + length-extension bytes, already parsed)
+//   [4] pre_moff pending match offset (0 = none)
+//   [5] pre_mlen pending match length (executed before the main loop)
+//   [6] out_len  decoded bytes this record must produce (== chunk except
+//                the final record)
+//   [7] reserved (0)
+//
+// Record kernel semantics (ops/decode_pallas carry variant): copy pre_lit
+// bytes from the slice start, skip pre_skip bytes, execute the pre-match,
+// then run the normal sequence loop with literal/match copies CLAMPED at
+// out_len (a clamped copy ends the record; the remainder is the next
+// record's carry). A record is valid iff it consumes exactly in_len input
+// and produces exactly out_len output.
+//
+// Returns the record count, or -1 on malformed input / > max_recs records.
+LZ4R_API int lz4r_chunk_split(const uint8_t* comp, int64_t clen,
+                              int32_t chunk, int64_t* recs, int max_recs) {
+    const uint8_t* ip = comp;
+    const uint8_t* const iend = comp + clen;
+    int nrec = 0;
+    int64_t op = 0;        // global output position
+    int64_t rec_out0 = 0;  // output position where the current record began
+    int64_t pre_lit = 0, pre_skip = 0, pre_moff = 0, pre_mlen = 0;
+    const uint8_t* rec_in = ip;
+    auto emit = [&](const uint8_t* in_end) -> bool {
+        if (nrec >= max_recs) return false;
+        int64_t* r = recs + (int64_t)nrec * 8;
+        r[0] = rec_in - comp;
+        r[1] = in_end - rec_in;
+        r[2] = pre_lit;
+        r[3] = pre_skip;
+        r[4] = pre_moff;
+        r[5] = pre_mlen;
+        r[6] = op - rec_out0;
+        r[7] = 0;
+        ++nrec;
+        return true;
+    };
+    while (ip < iend) {
+        const uint8_t* tok = ip;
+        if (op == rec_out0 + chunk) {
+            // boundary falls exactly on a sequence start: clean cut, the
+            // next record begins at this token with no carries
+            if (!emit(tok)) return -1;
+            rec_out0 = op;
+            rec_in = tok;
+            pre_lit = pre_skip = pre_moff = pre_mlen = 0;
+        }
+        uint32_t t = *ip++;
+        int64_t lit = t >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > iend) return -1;
+        const uint8_t* litp = ip;
+        ip += lit;
+        // match header (parsed up front so a literal-cut record can carry
+        // the match without re-parsing)
+        int64_t moff = 0, mlen = 0;
+        const uint8_t* hdrp = ip;
+        if (ip < iend) {  // not the final literals-only sequence
+            if (ip + 2 > iend) return -1;
+            moff = ip[0] | ((int64_t)ip[1] << 8);
+            ip += 2;
+            mlen = (t & 15) + 4;
+            if ((t & 15) == 15) {
+                uint8_t b;
+                do {
+                    if (ip >= iend) return -1;
+                    b = *ip++;
+                    mlen += b;
+                } while (b == 255);
+            }
+            if (moff == 0 || moff > op + lit) return -1;
+        }
+        const int64_t hdr_len = ip - hdrp;
+        // place the literals, cutting as needed (each intermediate record
+        // is pure carried literals)
+        bool cut_in_lits = false;
+        int64_t done_lit = 0;
+        while (op + (lit - done_lit) > rec_out0 + chunk) {
+            int64_t take = rec_out0 + chunk - op;
+            op += take;
+            done_lit += take;
+            if (!emit(litp + done_lit)) return -1;
+            rec_out0 = op;
+            rec_in = litp + done_lit;
+            int64_t rem = lit - done_lit;
+            pre_lit = rem < chunk ? rem : chunk;
+            pre_skip = pre_moff = pre_mlen = 0;
+            cut_in_lits = true;
+        }
+        op += lit - done_lit;
+        // place the match
+        if (mlen > 0) {
+            int64_t room = rec_out0 + chunk - op;
+            int64_t place = mlen < room ? mlen : room;
+            if (cut_in_lits) {
+                // the current record's prologue owns this sequence: it
+                // consumes the header via pre_skip and runs the match (or
+                // its first part) from the carry fields
+                pre_skip = hdr_len;
+                pre_moff = moff;
+                pre_mlen = place;
+            }
+            // else: the record's normal loop parses the sequence and
+            // clamps the match copy at out_len itself
+            op += place;
+            mlen -= place;
+            while (mlen > 0) {
+                if (!emit(ip)) return -1;  // record full at the cut
+                rec_out0 = op;
+                rec_in = ip;
+                int64_t part = mlen < chunk ? mlen : (int64_t)chunk;
+                pre_lit = 0;
+                pre_skip = 0;
+                pre_moff = moff;
+                pre_mlen = part;
+                op += part;
+                mlen -= part;
+            }
+        }
+    }
+    if (ip != iend) return -1;
+    if (!emit(iend)) return -1;
+    return nrec;
+}
