@@ -488,6 +488,15 @@ struct ChainFinder {
         // (< skip_len) so this is a few hundred word compares at most.
         if (inserted_upto < j) {
             uint32_t zlo = std::max(inserted_upto, lowest);
+            // Iteration cap (advisor r4): the zone is normally < skip_len,
+            // but repeated small coverage re-extensions over a wide
+            // uninserted span would re-sweep ~carry_len positions per end
+            // (superlinear pass-1 worst case). The sweep is nearest-first
+            // and its value (small-offset near repeats) concentrates close
+            // to j, so clamp the scanned span — read32s, not just verified
+            // hits, are now bounded per call.
+            uint32_t zspan = (uint32_t)std::max(512, budget * 8);
+            if (j - zlo > zspan) zlo = j - zspan;
             uint32_t first4 = read32(jp);
             int zbudget = budget;
             for (uint32_t q = j; q-- > zlo && zbudget > 0;) {
@@ -3158,19 +3167,66 @@ LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
         // NO gain — per-record cost is find-bound, not copy-bound.
         static thread_local ChainFinder workopt;
         c->opt.copy_into(workopt, wbase);
-        bool rundense = false;
+        // full sampled classification, mirroring compress_opt's
+        // dispatcher (advisor r4: the maxlag/tiny-alphabet pathology
+        // classes — mutated short-period tiles, 4-symbol soup — crawl
+        // under the sparse schedule and must reroute here too)
+        bool rundense = false, shortlag = false, tiny_alpha = false;
         if (src_size >= 4096) {
             int uniform = 0;
+            uint64_t seen[4] = {0, 0, 0, 0};
+            int laghit[17] = {};
             int stride = src_size / 128;
             for (int t = 0; t < 128; ++t) {
-                uint32_t v = read32(s + (size_t)t * stride);
+                const uint8_t* p = s + (size_t)t * stride;
+                uint32_t v = read32(p);
                 uniform += (v == 0x01010101u * (uint8_t)v);
+                for (int b = 0; b < 4; ++b) {
+                    uint8_t ch = (uint8_t)(v >> (8 * b));
+                    seen[ch >> 6] |= 1ull << (ch & 63);
+                }
+                for (int lag = 2; lag <= 16; ++lag)
+                    laghit[lag] += (read32(p + lag) == v);
             }
+            int distinct = __builtin_popcountll(seen[0]) +
+                           __builtin_popcountll(seen[1]) +
+                           __builtin_popcountll(seen[2]) +
+                           __builtin_popcountll(seen[3]);
+            int maxlag = 0;
+            for (int lag = 2; lag <= 16; ++lag)
+                if (laghit[lag] > maxlag) maxlag = laghit[lag];
             rundense = uniform > 64;
+            shortlag = maxlag > 96;
+            tiny_alpha = distinct <= 16;
         }
-        if (level <= 10 && !rundense)
-            return compress_opt_t<int32_t, /*SPARSE=*/true>(
-                wbase, s, src_size, dst, dst_cap, level, &workopt);
+        if (level <= 10 && !rundense) {
+            if (shortlag) {
+                // mutated short-period records: both DP modes degenerate
+                // (see compress_opt's dispatcher); the chain parse with
+                // the good-enough valve is the right tool. Build the hc
+                // chain state lazily — most dict contexts at opt levels
+                // never see this class.
+                if (!c->hc_built) {
+                    c->hc.reset();
+                    c->hc.attach(c->scratch.data());
+                    if (c->window_size > 3)
+                        c->hc.insert_upto(
+                            c->scratch.data() + c->window_size - 3);
+                    c->hc_built = true;
+                }
+                static thread_local ChainFinder workhc;
+                workhc.head = c->hc.head;
+                workhc.chain = c->hc.chain;
+                workhc.next_insert = c->hc.next_insert;
+                workhc.floor_pos = 0;
+                workhc.wbase = workhc.low_base = wbase;
+                return compress_hc(wbase, wbase + c->window_size, src_size,
+                                   dst, dst_cap, 8, &workhc);
+            }
+            if (!tiny_alpha)
+                return compress_opt_t<int32_t, /*SPARSE=*/true>(
+                    wbase, s, src_size, dst, dst_cap, level, &workopt);
+        }
         return compress_opt_t<int32_t>(wbase, s, src_size, dst, dst_cap,
                                        level, &workopt);
     }
@@ -3822,7 +3878,10 @@ LZ4R_API int lz4r_chunk_split(const uint8_t* comp, int64_t clen,
                     mlen += b;
                 } while (b == 255);
             }
-            if (moff == 0 || moff > op + lit) return -1;
+            // validity bound includes the 64 KiB pre-block window (frame
+            // dictionary / linked predecessor); the record decoder still
+            // rejects offsets beyond the ACTUAL window it was given
+            if (moff == 0 || moff > op + lit + 65536) return -1;
         }
         const int64_t hdr_len = ip - hdrp;
         // place the literals, cutting as needed (each intermediate record

@@ -323,12 +323,24 @@ def _decode_kernel(cw_ref, clen_ref, ow_ref, n_out_ref, ok_ref):
     ok_ref[0] = ok.astype(I32)
 
 
-def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
-    """Dictionary-window variant: meta_ref = [clen, dlen]; dw_ref holds the
-    window right-aligned in packed words (logical dict byte -k is physical
+def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref,
+                        strict: bool = True):
+    """Dictionary-window variant: meta_ref = [clen, dlen, pre_lit,
+    pre_skip, pre_moff, pre_mlen, out_len]; dw_ref holds the window
+    right-aligned in packed words (logical dict byte -k is physical
     byte Wd*4 - k). Match copies that reach before the block start read
     from the window (reference: LZ4_decompress_safe_usingDict,
     compress/decompress.go:127-143).
+
+    strict=True (whole-block decode): meta's carry fields are zero and a
+    sequence that would overrun out_len is corrupt (bad). strict=False
+    (large-block chunk records, native lz4r_chunk_split layout): the
+    prologue copies pre_lit literal bytes from the slice start, skips
+    pre_skip header bytes, executes the (pre_moff, pre_mlen) carry match,
+    and the main loop CLAMPS literal/match copies at out_len — a clamped
+    copy ends the record; the remainder is the next record's carry. The
+    record is valid iff it consumes exactly clen input and produces
+    exactly out_len output (host-checked via n_out).
 
     Copy scheme mirrors the plain kernel: carried-word copies for literals
     and in-block matches (2 loads + 2 stores per 4 bytes), with word copies
@@ -427,6 +439,72 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
         total, p, _ = jax.lax.while_loop(vcond, vbody, (base, ip, 255))
         return total, p
 
+    out_len = meta_ref[6]
+
+    def match_copy(op, off, m_n):
+        """Copy m_n match bytes to op from op-off; sources reaching before
+        the block start read the window. Callers guarantee
+        op + m_n <= out_len <= N; word copies need +4 wild slack within N.
+        dict portion: bytes while op - off + i < 0 come from the window;
+        word copies when 4 consecutive source bytes stay inside the dict."""
+        dict_n = jnp.clip(off - op, 0, m_n)
+        room = op + m_n + 4 <= N
+
+        def d_words():
+            def wbody(t, _):
+                # k = distance before block start of source byte
+                k = off - op - t * 4
+                wr_o_word(op + t * 4, rd_d_word(k))
+                return 0
+            # only full words whose 4 source bytes are all in-dict
+            jax.lax.fori_loop(0, dict_n >> 2, wbody, 0)
+            # tail bytes of the dict portion (plus any straddle into
+            # the block) fall through to the byte loop below
+
+        def d_none():
+            pass
+
+        jax.lax.cond(room & (dict_n >= 4), d_words, d_none)
+        tail_start = jnp.where(room, dict_n & ~jnp.int32(3), 0)
+
+        def straddle(i, _):
+            src = op - off + tail_start + i
+            v = jax.lax.cond(src < 0, lambda: rd_d(-src),
+                             lambda: rd_o(src))
+            wr_o(op + tail_start + i, v)
+            return 0
+
+        # copy byte-wise only across the dict/block boundary region
+        # (pure in-block matches skip this entirely)
+        straddle_n = jnp.where(
+            dict_n > 0,
+            jnp.minimum(m_n - tail_start, dict_n - tail_start + 4),
+            0)
+        straddle_n = jnp.clip(straddle_n, 0, m_n - tail_start)
+        jax.lax.fori_loop(0, straddle_n, straddle, 0)
+
+        # in-block remainder: carried-word scheme when offset allows
+        rem_start = tail_start + straddle_n
+        rem_n = m_n - rem_start
+        use_carried = (off >= 8) & room
+        use_wordsm = (off >= 4) & room
+
+        def m_carried():
+            def wbody(t, _):
+                p = op + rem_start + t * 4
+                wr_o_word(p, rd_o_word(p - off))
+                return 0
+            jax.lax.fori_loop(0, (rem_n + 3) >> 2, wbody, 0)
+
+        def m_bytes():
+            def bbody(i, _):
+                p = op + rem_start + i
+                wr_o(p, rd_o(p - off))
+                return 0
+            jax.lax.fori_loop(0, rem_n, bbody, 0)
+
+        jax.lax.cond(use_carried | use_wordsm, m_carried, m_bytes)
+
     def cond(state):
         _, _, _, done = state
         return jnp.logical_not(done)
@@ -449,9 +527,17 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
 
         lit_len, ip = jax.lax.cond(lit_len == 15, lit_ext,
                                    lambda: (lit_len, ip))
-        bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
-
-        lit_n = jnp.where(bad, 0, lit_len)
+        if strict:
+            bad = bad | (ip + lit_len > clen) | (op + lit_len > N)
+            lit_n = jnp.where(bad, 0, lit_len)
+            clip_l = jnp.bool_(False)
+        else:
+            # record mode: clamp at out_len; a clamped copy ends the
+            # record (the remainder is the next record's pre_lit carry)
+            lit_n = jnp.minimum(lit_len, out_len - op)
+            bad = bad | (lit_n < 0) | (ip + lit_n > clen)
+            lit_n = jnp.where(bad, 0, lit_n)
+            clip_l = lit_n < lit_len
         use_words = op + lit_n + 4 <= N
 
         def lit_words():
@@ -467,10 +553,10 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
             jax.lax.fori_loop(0, lit_n, bbody, 0)
 
         jax.lax.cond(use_words, lit_words, lit_bytes)
-        ip = ip + lit_len
-        op = op + lit_len
+        ip = ip + lit_n
+        op = op + lit_n
 
-        done = (ip >= clen) | bad
+        done = (ip >= clen) | bad | clip_l
 
         def do_match(ip, op, bad):
             mw = rd_c_word(ip)
@@ -488,77 +574,61 @@ def _decode_dict_kernel(cw_ref, meta_ref, dw_ref, ow_ref, n_out_ref, ok_ref):
 
             mlen, ip = jax.lax.cond(mlen == 15, m_ext, lambda: (mlen, ip))
             mlen = mlen + 4
-            bad = bad | (op + mlen > N) | (off > op + dlen)
+            bad = bad | (off > op + dlen)
+            if strict:
+                bad = bad | (op + mlen > N)
+                m_n = jnp.where(bad, 0, mlen)
+                clip_m = jnp.bool_(False)
+            else:
+                m_n = jnp.where(bad, 0, jnp.minimum(mlen, out_len - op))
+                clip_m = m_n < mlen
+            match_copy(op, off, m_n)
+            return ip, op + m_n, bad, clip_m
 
-            m_n = jnp.where(bad, 0, mlen)
-            # dict portion: bytes while op - off + i < 0 come from the
-            # window; word copies when 4 consecutive source bytes stay
-            # inside the dict
-            dict_n = jnp.clip(off - op, 0, m_n)
-            room = op + m_n + 4 <= N
+        ip, op, bad, clip_m = jax.lax.cond(
+            done, lambda ip, op, bad: (ip, op, bad, jnp.bool_(False)),
+            do_match, ip, op, bad)
+        return ip, op, ok & jnp.logical_not(bad), done | bad | clip_m
 
-            def d_words():
-                def wbody(t, _):
-                    # k = distance before block start of source byte
-                    k = off - op - t * 4
-                    wr_o_word(op + t * 4, rd_d_word(k))
-                    return 0
-                # only full words whose 4 source bytes are all in-dict
-                jax.lax.fori_loop(0, dict_n >> 2, wbody, 0)
-                # tail bytes of the dict portion (plus any straddle into
-                # the block) fall through to the byte loop below
+    if strict:
+        ip0 = jnp.int32(0)
+        op0 = jnp.int32(0)
+        ok0 = clen > 0
+        done0 = clen <= 0
+    else:
+        # record prologue: pre_lit literal bytes from the slice start,
+        # pre_skip header bytes, then the carried match
+        pre_lit = meta_ref[2]
+        pre_skip = meta_ref[3]
+        pre_moff = meta_ref[4]
+        pre_mlen = meta_ref[5]
+        bad0 = ((pre_lit > clen) | (pre_lit + pre_mlen > out_len)
+                | ((pre_mlen > 0) & (pre_moff > pre_lit + dlen))
+                | (pre_lit < 0) | (pre_mlen < 0))
+        p_lit = jnp.where(bad0, 0, pre_lit)
 
-            def d_none():
-                pass
-
-            jax.lax.cond(room & (dict_n >= 4), d_words, d_none)
-            tail_start = jnp.where(room, dict_n & ~jnp.int32(3), 0)
-
-            def straddle(i, _):
-                src = op - off + tail_start + i
-                v = jax.lax.cond(src < 0, lambda: rd_d(-src),
-                                 lambda: rd_o(src))
-                wr_o(op + tail_start + i, v)
+        def pro_words():
+            def wbody(t, _):
+                wr_o_word(t * 4, rd_c_word(t * 4))
                 return 0
+            jax.lax.fori_loop(0, (p_lit + 3) >> 2, wbody, 0)
 
-            # copy byte-wise only across the dict/block boundary region
-            # (pure in-block matches skip this entirely)
-            straddle_n = jnp.where(
-                dict_n > 0,
-                jnp.minimum(m_n - tail_start, dict_n - tail_start + 4),
-                0)
-            straddle_n = jnp.clip(straddle_n, 0, m_n - tail_start)
-            jax.lax.fori_loop(0, straddle_n, straddle, 0)
+        def pro_bytes():
+            def bbody(i, _):
+                wr_o(i, rd_c(i))
+                return 0
+            jax.lax.fori_loop(0, p_lit, bbody, 0)
 
-            # in-block remainder: carried-word scheme when offset allows
-            rem_start = tail_start + straddle_n
-            rem_n = m_n - rem_start
-            use_carried = (off >= 8) & room
-            use_wordsm = (off >= 4) & room
+        jax.lax.cond(p_lit + 4 <= N, pro_words, pro_bytes)
+        p_m = jnp.where(bad0, 0, pre_mlen)
+        match_copy(p_lit, pre_moff, p_m)
+        ip0 = p_lit + pre_skip
+        op0 = p_lit + p_m
+        bad0 = bad0 | (ip0 > clen)
+        ok0 = jnp.logical_not(bad0)
+        done0 = bad0 | (ip0 >= clen)
 
-            def m_carried():
-                def wbody(t, _):
-                    p = op + rem_start + t * 4
-                    wr_o_word(p, rd_o_word(p - off))
-                    return 0
-                jax.lax.fori_loop(0, (rem_n + 3) >> 2, wbody, 0)
-
-            def m_bytes():
-                def bbody(i, _):
-                    p = op + rem_start + i
-                    wr_o(p, rd_o(p - off))
-                    return 0
-                jax.lax.fori_loop(0, rem_n, bbody, 0)
-
-            jax.lax.cond(use_carried | use_wordsm, m_carried, m_bytes)
-            return ip, op + m_n, bad
-
-        ip, op, bad = jax.lax.cond(
-            done, lambda ip, op, bad: (ip, op, bad), do_match, ip, op, bad)
-        return ip, op, ok & jnp.logical_not(bad), done | bad
-
-    ip, op, ok, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), clen > 0, clen <= 0))
+    ip, op, ok, _ = jax.lax.while_loop(cond, body, (ip0, op0, ok0, done0))
     ok = ok & (ip == clen)
     n_out_ref[0] = op
     ok_ref[0] = ok.astype(I32)
@@ -579,7 +649,9 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
     comp = jnp.concatenate([comp, jnp.zeros((8,), dtype=comp.dtype)])
     cw = pack_words(comp)
     dw = pack_words(dict_buf)
-    meta = jnp.stack([clen.astype(I32), dlen.astype(I32)])
+    zero = jnp.int32(0)
+    meta = jnp.stack([clen.astype(I32), dlen.astype(I32), zero, zero,
+                      zero, zero, jnp.int32(out_cap)])
     ow, n_out, ok = pl.pallas_call(
         _decode_dict_kernel,
         out_shape=(
@@ -600,6 +672,79 @@ def decode_block_pallas_dict(comp: jnp.ndarray, clen: jnp.ndarray,
         interpret=interpret,
     )(cw, meta, dw)
     return unpack_words(ow), n_out[0], ok[0] != 0
+
+
+# ---------------------------------------------------------------------------
+# Large-block decode: the frame format's block classes go to 4 MiB
+# (reference: descriptor/index.go:92-125) but the SMEM kernels are
+# chunk-sized, so a large block decodes as a lax.scan over <= 64 KiB-output
+# records (cut at sequence boundaries by native lz4r_chunk_split) carrying
+# the 64 KiB window — one dispatch per block batch, bulk bytes on device.
+# ---------------------------------------------------------------------------
+
+CHUNK = 65536  # record output span == the LZ4 match window
+# (the record input-slice cap lives in parallel/large.py: CHUNK_IN)
+
+
+def _decode_record(row, meta, win, interpret: bool):
+    """One carry-mode record decode: row (CIN,) uint8 slice, meta (7,)
+    int32 (lz4r_chunk_split layout + dlen in meta[1]), win (C,) uint8
+    window (the previous record's output, right-aligned). The record
+    output span equals the window size (C = CHUNK in production; tests
+    use small C with offset-bounded streams)."""
+    cw = pack_words(jnp.concatenate([row, jnp.zeros((8,), row.dtype)]))
+    dw = pack_words(win)
+    ow, n_out, ok = pl.pallas_call(
+        functools.partial(_decode_dict_kernel, strict=False),
+        out_shape=(
+            jax.ShapeDtypeStruct((win.shape[0] // 4,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+            jax.ShapeDtypeStruct((1,), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(cw, meta, dw)
+    return unpack_words(ow), n_out[0], ok[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_chunks_pallas(rows, metas, win0, interpret: bool = False):
+    """Decode ONE large block's chunk records sequentially in a single
+    dispatch: lax.scan carries the 64 KiB window (the previous record's
+    full output) through the carry-mode dict kernel.
+
+    rows: (K, CIN) uint8 input slices (CIN % 4 == 0); metas: (K, 7) int32
+    [clen, dlen, pre_lit, pre_skip, pre_moff, pre_mlen, out_len] where
+    metas[0, 1] is the frame-dictionary length (0 = none) and
+    metas[i>0, 1] == CHUNK; win0: (CHUNK,) uint8 right-aligned window for
+    record 0. Padding records (all-zero meta) are valid no-ops. Returns
+    (outs (K, CHUNK) uint8, n_outs (K,) i32, oks (K,) i32)."""
+
+    def step(win, xs):
+        row, meta = xs
+        out, n, ok = _decode_record(row, meta, win, interpret)
+        return out, (out, n, ok)
+
+    _, (outs, ns, oks) = jax.lax.scan(step, win0, (rows, metas))
+    return outs, ns, oks
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_chunks_batch_pallas(rows, metas, win0s, interpret: bool = False):
+    """Batch of large blocks: rows (B, K, CIN), metas (B, K, 7),
+    win0s (B, CHUNK). Blocks run one per lax.map step (scalar-core
+    kernels; see decode_batch_pallas for why not vmap)."""
+    fn = functools.partial(decode_chunks_pallas, interpret=interpret)
+    return jax.lax.map(lambda args: fn(*args), (rows, metas, win0s))
 
 
 def _decode_kernel_bw(*refs, vals: bool = False, small_g2: int = 4):

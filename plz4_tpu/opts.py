@@ -104,16 +104,13 @@ class Options:
             self.dictionary = self.dictionary[-WINDOW_SIZE:]
         if self.backend not in ("native", "device", "auto"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.backend == "device":
-            # The device engine's Pallas kernels are SMEM-resident and
-            # sized for <= 64 KiB blocks; a 4 MiB block cannot even be
-            # allocated on chip (Mosaic: "would exceed memory", found
-            # round 4 driving the Writer on real hardware — the round-3
-            # tunnel outage hid it). Device frames therefore always use
-            # 64 KiB blocks: the produced frame is standard LZ4 either
-            # way, and 64 KiB is also the device throughput sweet spot.
-            if self.block_size_idx > desc.BLOCK_IDX_64KB:
-                self.block_size_idx = desc.BLOCK_IDX_64KB
+        # All four BD block sizes (64 KiB..4 MiB, descriptor/index.go:
+        # 92-125) are supported on every backend. The device engine's
+        # Pallas kernels are SMEM-resident and chunk-sized, so blocks
+        # larger than 64 KiB are encoded as parallel window-prefixed
+        # 64 KiB chunks stitched into standard LZ4 blocks, and decoded
+        # as a sequential on-device record scan (parallel/large.py).
+        # 64 KiB blocks remain the device throughput sweet spot.
 
     @property
     def block_size(self) -> int:

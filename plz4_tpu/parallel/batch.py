@@ -43,6 +43,28 @@ def _use_pallas() -> bool:
 _DEEP_TRIES = {10: 8, 11: 16, 12: 32}
 
 
+def dispatch_encode_dict(a, l, da, dl, level: int):
+    """Kernel selection for the window-prefix (linked/dict/chunked) encode
+    batch: pallas tier ladder on TPU, XLA array path elsewhere. Shared by
+    the dict branch below and the large-block chunk path (large.py)."""
+    if _use_pallas():
+        from ..ops import encode_pallas
+
+        if level <= 2:
+            return encode_pallas.encode_batch_pallas_dict(a, l, da, dl)
+        if level <= 9:
+            # HC-class chain kernel: depth-2 at levels 3-7, depth-4 at
+            # 8-9 (the third device quality tier, VERDICT r3 #5)
+            return encode_pallas.encode_batch_pallas_mid_dict(
+                a, l, da, dl, depth4=level >= 8)
+        # hash-chain finder + lazy matching (fourth tier); the 64 KiB-
+        # window dict path exceeds the chain-array SMEM budget and falls
+        # back to depth-4 inside the wrapper
+        return encode_pallas.encode_batch_pallas_deep_dict(
+            a, l, da, dl, tries=_DEEP_TRIES.get(level, 32))
+    return encode_jax.encode_batch_dict(a, l, da, dl, level=level)
+
+
 def _pow2(n: int) -> int:
     return 1 << max(0, math.ceil(math.log2(max(1, n))))
 
@@ -203,13 +225,23 @@ def encode_blocks_begin(blocks: list[bytes], block_size: int, level: int = 1,
     """
     if not blocks:
         return Pending(list, ())
+    # validate BEFORE taking pool buffers: a raise here must not leak them
+    for blk in blocks:
+        if len(blk) > block_size:
+            raise zerr.ErrSrcSize
+    if block_size > 65536:
+        from . import large
+
+        if any(len(b) > large.CHUNK for b in blocks):
+            # 256 KiB-4 MiB blocks: encode as window-prefixed 64 KiB
+            # chunks in parallel, stitch into standard LZ4 blocks
+            return large.encode_large_begin(
+                blocks, block_size, level=level, dicts=dicts,
+                with_checksums=with_checksums)
+        block_size = large.CHUNK  # all blocks fit one chunk row
     mesh = mesh_mod.active_mesh()
     B = mesh_mod.pad_batch_for_mesh(_pow2(len(blocks)), mesh)
     N = block_size
-    # validate BEFORE taking pool buffers: a raise here must not leak them
-    for blk in blocks:
-        if len(blk) > N:
-            raise zerr.ErrSrcSize
     arr, arr_raw = _stage((B, N))
     lens, lens_raw = _stage((B,), np.int32)
     staging = [arr_raw, lens_raw]
@@ -229,28 +261,7 @@ def encode_blocks_begin(blocks: list[bytes], block_size: int, level: int = 1,
                 darr[i, D - len(d):] = np.frombuffer(d, dtype=np.uint8)
                 dlens[i] = len(d)
         a, l, da, dl = _shard_args(mesh, arr, lens, darr, dlens)
-        if _use_pallas():
-            from ..ops import encode_pallas
-
-            if level <= 2:
-                out, totals, compressible = \
-                    encode_pallas.encode_batch_pallas_dict(a, l, da, dl)
-            elif level <= 9:
-                # HC-class chain kernel: depth-2 at levels 3-7, depth-4 at
-                # 8-9 (the third device quality tier, VERDICT r3 #5)
-                out, totals, compressible = \
-                    encode_pallas.encode_batch_pallas_mid_dict(
-                        a, l, da, dl, depth4=level >= 8)
-            else:
-                # hash-chain finder + lazy matching (fourth tier); the
-                # 64 KiB-window dict path exceeds the chain-array SMEM
-                # budget and falls back to depth-4 inside the wrapper
-                out, totals, compressible = \
-                    encode_pallas.encode_batch_pallas_deep_dict(
-                        a, l, da, dl, tries=_DEEP_TRIES.get(level, 32))
-        else:
-            out, totals, compressible = encode_jax.encode_batch_dict(
-                a, l, da, dl, level=level)
+        out, totals, compressible = dispatch_encode_dict(a, l, da, dl, level)
     else:
         a, l = _shard_args(mesh, arr, lens)
         if _use_pallas():
@@ -339,6 +350,13 @@ def decode_blocks_begin(stored: list[tuple[bytes, bool]], block_size: int,
     """
     if not stored:
         return Pending(list, ())
+    if block_size > 65536:
+        from . import large
+
+        # large-BD frames: split each block at sequence boundaries; the
+        # sequential record scan decodes multi-chunk blocks on device
+        return large.decode_large_begin(stored, block_size, dict_=dict_,
+                                        checksums=checksums)
     comp_idx = [i for i, (_, unc) in enumerate(stored) if not unc]
     results: list[bytes | None] = [
         data if unc else None for (data, unc) in stored]

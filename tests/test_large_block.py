@@ -1,0 +1,348 @@
+"""Device large-block support: 256 KiB-4 MiB frame blocks through the
+chunked encode (window-prefix chunks + native stitcher) and the sequential
+record-scan decode (native splitter + carry-mode kernel).
+
+Reference: all four BD classes are first-class (descriptor/index.go:92-125)
+with a 4 MiB default (plz4_opts.go:238-255) — VERDICT r4 missing #1.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import plz4_tpu as plz4
+import upstream_oracle
+from plz4_tpu import errors as zerr
+from plz4_tpu import native
+from plz4_tpu.frame import descriptor as desc
+from plz4_tpu.frame import header as hdr
+
+from conftest import make_compressible, make_incompressible
+
+
+def mixed_payload(n: int, seed: int = 0) -> bytes:
+    """Words + noise + runs: exercises literal-run carries, boundary
+    matches, and RLE crossings."""
+    r = np.random.default_rng(seed)
+    words = [r.bytes(int(r.integers(3, 12))) for _ in range(50)]
+    parts, total = [], 0
+    while total < n:
+        x = r.random()
+        if x < 0.6:
+            w = words[int(r.integers(0, 50))]
+        elif x < 0.8:
+            w = r.bytes(int(r.integers(1, 30)))
+        else:
+            w = bytes([int(r.integers(0, 256))]) * int(r.integers(4, 5000))
+        parts.append(w)
+        total += len(w)
+    return b"".join(parts)[:n]
+
+
+# ---------------------------------------------------------------------------
+# control plane: stitcher
+# ---------------------------------------------------------------------------
+
+def chunked_encode(src: bytes, chunk: int, level: int = 1,
+                   dict_: bytes = b"") -> bytes:
+    """Host model of the device chunk path: window-prefixed chunk streams
+    through the native codec, merged by the native stitcher."""
+    streams = []
+    for i in range(0, len(src), chunk):
+        prev = dict_ if i == 0 else src[max(0, i - chunk):i]
+        c = native.compress(src[i:i + chunk], level=level, dict_=prev)
+        if c is None:  # incompressible chunk -> literal-only stream
+            ch = src[i:i + chunk]
+            lit = len(ch)
+            h = bytearray()
+            if lit >= 15:
+                h.append(0xF0)
+                v = lit - 15
+                while v >= 255:
+                    h.append(255)
+                    v -= 255
+                h.append(v)
+            else:
+                h.append(lit << 4)
+            c = bytes(h) + ch
+        streams.append(c)
+    return native.stitch_chunks(src, chunk, streams)
+
+
+@pytest.mark.parametrize("n", [65537, 196608, 300000])
+@pytest.mark.parametrize("level", [1, 9])
+def test_stitch_roundtrip_native(n, level):
+    src = mixed_payload(n, seed=n % 97 + level)
+    st = chunked_encode(src, 65536, level)
+    assert st is not None
+    assert native.decompress(st, n) == src
+    # size stays within a whisker of the monolithic encode
+    mono = native.compress(src, level=level)
+    assert len(st) <= len(mono) + max(64, len(mono) // 100)
+
+
+@pytest.mark.skipif(not upstream_oracle.available(),
+                    reason="reference mount unavailable")
+def test_stitched_stream_decodes_via_upstream_oracle():
+    """Cross-implementation conformance: stitched blocks are standard LZ4
+    (reference decoder semantics, clz4/lz4.c LZ4_decompress_safe)."""
+    src = mixed_payload(300000, seed=5)
+    st = chunked_encode(src, 65536, level=1)
+    assert upstream_oracle.decompress(st, len(src)) == src
+
+
+def test_stitch_pure_literal_chunks_merge():
+    src = make_incompressible(200000, seed=3)
+    st = chunked_encode(src, 65536, level=1)
+    # incompressible: stitched stream is all literals (slightly larger) but
+    # still decodes exactly; the frame layer stores such blocks raw
+    assert native.decompress(st, len(src)) == src
+
+
+# ---------------------------------------------------------------------------
+# control plane: splitter (+ reference record semantics)
+# ---------------------------------------------------------------------------
+
+def ref_record_decode(comp: bytes, recs) -> bytes:
+    """Reference implementation of the carry-record semantics the kernel
+    implements (lz4r.cpp record layout contract)."""
+    full = bytearray()
+    for (in_off, in_len, pre_lit, pre_skip, pre_moff, pre_mlen, out_len,
+         _pad) in recs:
+        s = comp[in_off:in_off + in_len]
+        base = len(full)
+        ip = 0
+        if pre_lit:
+            full += s[:pre_lit]
+            ip = pre_lit
+        ip += pre_skip
+        for _ in range(pre_mlen):
+            full.append(full[len(full) - pre_moff])
+        while ip < in_len:
+            t = s[ip]
+            ip += 1
+            lit = t >> 4
+            if lit == 15:
+                while True:
+                    b = s[ip]
+                    ip += 1
+                    lit += b
+                    if b != 255:
+                        break
+            lit_n = min(lit, out_len - (len(full) - base))
+            full += s[ip:ip + lit_n]
+            ip += lit_n
+            if lit_n < lit or ip >= in_len:
+                break
+            off = s[ip] | (s[ip + 1] << 8)
+            ip += 2
+            ml = (t & 15) + 4
+            if (t & 15) == 15:
+                while True:
+                    b = s[ip]
+                    ip += 1
+                    ml += b
+                    if b != 255:
+                        break
+            m_n = min(ml, out_len - (len(full) - base))
+            for _ in range(m_n):
+                full.append(full[len(full) - off])
+            if m_n < ml:
+                break
+        assert ip == in_len
+        assert len(full) - base == out_len
+    return bytes(full)
+
+
+@pytest.mark.parametrize("n", [300000, 65537, 999])
+@pytest.mark.parametrize("level", [1, 12])
+def test_split_records_reconstruct(n, level):
+    src = mixed_payload(n, seed=n % 89 + level)
+    comp = native.compress(src, level=level)
+    recs = native.chunk_split(comp, 65536, max_out=4 << 20)
+    assert recs is not None
+    assert int(recs[:, 6].sum()) == n
+    assert ref_record_decode(comp, recs) == src
+
+
+def test_split_giant_match_carries():
+    src = b"A" * (3 * 65536 + 12345)
+    comp = native.compress(src, level=9)
+    recs = native.chunk_split(comp, 65536, max_out=4 << 20)
+    assert len(recs) == 4
+    # middle records are pure match carries
+    assert recs[1][5] == 65536 and recs[1][1] == 0
+    assert ref_record_decode(comp, recs) == src
+
+
+def test_split_rejects_malformed():
+    assert native.chunk_split(b"\xff\xff\xff", 65536, max_out=1 << 20) is None
+    # declared output beyond max_out is rejected too
+    src = b"B" * 300000
+    comp = native.compress(src, level=1)
+    assert native.chunk_split(comp, 65536, max_out=100000) is None
+
+
+# ---------------------------------------------------------------------------
+# carry-mode kernel (interpret, small chunks so the scalar loop is cheap)
+# ---------------------------------------------------------------------------
+
+def _kernel_record_decode(comp: bytes, chunk: int, dict_: bytes = b""):
+    import jax.numpy as jnp
+
+    from plz4_tpu.ops import decode_pallas as dp
+
+    cin = chunk + 256
+    recs = native.chunk_split(comp, chunk, max_out=1 << 22)
+    assert recs is not None
+    K = len(recs)
+    rows = np.zeros((K, cin), dtype=np.uint8)
+    metas = np.zeros((K, 7), dtype=np.int32)
+    ca = np.frombuffer(comp, dtype=np.uint8)
+    for i, r in enumerate(recs):
+        in_off, in_len = int(r[0]), int(r[1])
+        assert in_len <= cin - 8
+        rows[i, :in_len] = ca[in_off:in_off + in_len]
+        metas[i] = [in_len, chunk if i else len(dict_),
+                    r[2], r[3], r[4], r[5], r[6]]
+    win0 = np.zeros((chunk,), dtype=np.uint8)
+    if dict_:
+        win0[chunk - len(dict_):] = np.frombuffer(dict_, dtype=np.uint8)
+    outs, ns, oks = dp.decode_chunks_pallas(
+        jnp.asarray(rows), jnp.asarray(metas), jnp.asarray(win0),
+        interpret=True)
+    outs = np.asarray(outs)
+    parts = []
+    for i, r in enumerate(recs):
+        assert int(np.asarray(oks)[i]) and int(np.asarray(ns)[i]) == int(r[6])
+        parts.append(outs[i, :int(r[6])].tobytes())
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("n", [10000, 1025, 3])
+def test_carry_kernel_scan_roundtrip(n):
+    # streams from the chunked encoder keep offsets within [prev|cur], so
+    # a 1 KiB test chunk is a faithful miniature of the 64 KiB production
+    # geometry (interpret mode makes 64 KiB chunks prohibitively slow)
+    src = mixed_payload(n, seed=n)
+    comp = chunked_encode(src, 1024, level=1)
+    assert _kernel_record_decode(comp, 1024) == src
+
+
+def test_carry_kernel_giant_run_and_dict():
+    src = b"Q" * 5000 + mixed_payload(3000, seed=5)
+    comp = chunked_encode(src, 1024, level=6)
+    assert _kernel_record_decode(comp, 1024) == src
+    dict_ = mixed_payload(800, seed=77)
+    src = mixed_payload(6000, seed=78)
+    comp = chunked_encode(src, 1024, level=6, dict_=dict_)
+    assert _kernel_record_decode(comp, 1024, dict_=dict_) == src
+
+
+# ---------------------------------------------------------------------------
+# public API, device backend (CPU: array encode path + portable decode)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("idx,blob_n", [
+    (desc.BLOCK_IDX_256KB, 700000),
+    (desc.BLOCK_IDX_1MB, 1200000),
+])
+def test_device_frames_honor_large_bd(idx, blob_n):
+    data = mixed_payload(blob_n, seed=idx)
+    comp = plz4.compress(data, backend="device", block_size_idx=idx, level=1)
+    h = hdr.read_header(io.BytesIO(comp))
+    assert h.block_size_idx == idx  # no silent 64 KiB downgrade
+    assert plz4.decompress(comp, backend="native") == data
+    assert plz4.decompress(comp, backend="device") == data
+
+
+def test_device_default_block_size_is_4mb():
+    data = mixed_payload(400000, seed=2)
+    comp = plz4.compress(data, backend="device", level=1)
+    h = hdr.read_header(io.BytesIO(comp))
+    assert h.block_size_idx == desc.BLOCK_IDX_4MB
+    assert plz4.decompress(comp) == data
+
+
+@pytest.mark.skipif(not upstream_oracle.available(),
+                    reason="reference mount unavailable")
+def test_device_large_frame_oracle_conformance():
+    """Blocks of a device-written 256 KiB-BD frame decode bit-exact via
+    the upstream reference decoder."""
+    from plz4_tpu.frame import block_io
+
+    data = mixed_payload(700000, seed=9)
+    comp = plz4.compress(data, backend="device",
+                         block_size_idx=desc.BLOCK_IDX_256KB, level=1,
+                         content_checksum=False)
+    bio = io.BytesIO(comp)
+    h = hdr.read_header(bio)
+    rd = block_io.FrameBlockReader(bio, h)
+    out = bytearray()
+    while True:
+        blk = rd.next_block()
+        if blk is None:
+            break
+        if blk.uncompressed:
+            out += blk.data
+        else:
+            out += upstream_oracle.decompress(
+                blk.data, min(h.block_size, len(data) - len(out)))
+    assert bytes(out) == data
+
+
+def test_device_large_checksums_and_corruption():
+    data = mixed_payload(600000, seed=11)
+    comp = plz4.compress(data, backend="device", level=3,
+                         block_size_idx=desc.BLOCK_IDX_1MB,
+                         block_checksum=True, content_checksum=True)
+    assert plz4.decompress(comp, backend="device") == data
+    blob = bytearray(comp)
+    blob[len(blob) // 2] ^= 0x11
+    with pytest.raises(zerr.Lz4Error):
+        plz4.decompress(bytes(blob), backend="device")
+
+
+def test_device_large_linked_and_dict():
+    data = mixed_payload(700000, seed=13)
+    comp = plz4.compress(data, backend="device", level=1, block_linked=True,
+                         block_size_idx=desc.BLOCK_IDX_256KB)
+    assert plz4.decompress(comp) == data
+    assert plz4.decompress(comp, backend="device") == data
+    d = mixed_payload(30000, seed=14)
+    comp = plz4.compress(data, backend="device", level=1, dictionary=d,
+                         block_size_idx=desc.BLOCK_IDX_256KB)
+    assert plz4.decompress(comp, dictionary=d) == data
+    assert plz4.decompress(comp, backend="device", dictionary=d) == data
+
+
+def test_device_large_incompressible_stores_raw():
+    data = make_incompressible(300000, seed=15)
+    comp = plz4.compress(data, backend="device", level=1,
+                         block_size_idx=desc.BLOCK_IDX_256KB,
+                         content_checksum=False)
+    # raw-stored block: frame = header + size word + payload + trailer
+    assert len(comp) < len(data) + 64
+    assert plz4.decompress(comp, backend="device") == data
+
+
+def test_native_large_frame_device_decode():
+    data = mixed_payload(900000, seed=17)
+    comp = plz4.compress(data, backend="native", level=6)  # 4 MiB BD
+    assert plz4.decompress(comp, backend="device") == data
+
+
+def test_large_blocks_on_mesh():
+    """Sharded large-block batches over the 8-device CPU mesh (block-axis
+    sharding; chunk windows are an axis-1 shift, no cross-shard gathers)."""
+    import jax
+
+    from plz4_tpu.parallel import batch, mesh
+
+    data = [mixed_payload(200000, seed=20 + i) for i in range(4)]
+    with mesh.use_mesh(mesh.make_block_mesh(jax.devices()[:8])):
+        res = batch.encode_blocks(data, 1 << 20, level=1)
+    stored = [(s, raw) for (s, raw) in res]
+    for (s, raw), d in zip(stored, data):
+        assert (s == d) if raw else (native.decompress(s, len(d)) == d)
