@@ -267,6 +267,36 @@ def bench_device(blocks: list[bytes]) -> tuple[float, float, float]:
                 "block mismatched")
         _log("on-chip gate: dict-mode encode/decode kernels OK")
 
+    # --- deep-tier FULL-WINDOW dict gate (round-5: VERDICT r4 next-#5) ---
+    # A 64 KiB block with a 64 KiB window through the u16-delta-chain deep
+    # finder (the old path silently fell back to depth-4 here): must
+    # decode via the native codec AND compress strictly better than the
+    # depth-4 candidate tables.
+    if use_pallas:
+        u_win = np.frombuffer(blocks[0], np.uint8)
+        u_rec = np.frombuffer(blocks[1], np.uint8)
+        u_out, u_total, u_ok = _epd.encode_block_pallas_deep_dict(
+            _jnp.asarray(u_rec), _jnp.int32(len(u_rec)),
+            _jnp.asarray(u_win), _jnp.int32(len(u_win)), tries=32)
+        if not bool(jax.device_get(u_ok)):
+            raise AssertionError(
+                "on-chip gate: deep u16-chain dict encode not ok")
+        u_len = int(jax.device_get(u_total))
+        u_comp = np.asarray(jax.device_get(u_out[:u_len])).tobytes()
+        if _native.decompress(u_comp, len(u_rec),
+                              dict_=blocks[0]) != blocks[1]:
+            raise AssertionError(
+                "on-chip gate: deep u16-chain dict block does not decode "
+                "via the native codec")
+        _, u4_total, _ = _epd.encode_block_pallas_mid_dict(
+            _jnp.asarray(u_rec), _jnp.int32(len(u_rec)),
+            _jnp.asarray(u_win), _jnp.int32(len(u_win)), depth4=True)
+        if u_len >= int(jax.device_get(u4_total)):
+            raise AssertionError(
+                f"on-chip gate: deep u16-chain dict tier ({u_len}) not "
+                f"better than depth-4 ({int(jax.device_get(u4_total))})")
+        _log("on-chip gate: deep-tier full-window dict (u16 chain) OK")
+
     # --- deep-tier gate (round-4 fourth quality tier) -------------------
     # One small block through the hash-chain finder kernel on the live
     # chip: must decode via the native codec and compress strictly

@@ -993,21 +993,31 @@ def encode_batch_pallas_mid_dict(data, lens, dicts, dlens,
     return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
-DEEP_HASH_LOG = 15  # deep tier: 2^15 head buckets + a full chain array
+DEEP_HASH_LOG = 15      # deep tier: 2^15 head buckets + a full chain array
+DEEP_HASH_LOG_U16 = 14  # u16-delta-chain variant (full-window dict calls)
 
 
 def _deep_fits(n_in: int, cap: int) -> bool:
     """Deep tier SMEM budget: input + chain (one link per input byte) +
     output + head table must stay inside the measured-good element range.
     True for plain 64 KiB blocks (229,772 of 235,520); window-prefix calls
-    at the device's 64 KiB window do NOT fit and fall back to depth-4."""
+    at the device's 64 KiB window do NOT fit — they take the u16-delta
+    chain variant below (half window) or fall back to depth-4."""
     return 2 * n_in + cap + (1 << DEEP_HASH_LOG) <= _BW_MAX_ELEMS
+
+
+def _deep_fits_u16(n_in: int, cap: int) -> bool:
+    """u16-delta-chain budget: two links per i32 element + 2^14 head.
+    True for a 32 KiB window + 64 KiB block (229,708 of 235,520)."""
+    return (n_in + (n_in + 1) // 2 + cap
+            + (1 << DEEP_HASH_LOG_U16) <= _BW_MAX_ELEMS)
 
 
 def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
                         head_ref, chain_ref, tries: int = 16,
                         suff: int = 0, lazy_cap: int = 0,
-                        ins_step: int = 1, probe2: bool = False):
+                        ins_step: int = 1, probe2: bool = False,
+                        u16chain: bool = False, hash_log: int = 0):
     """HC-class chain-finder encode (device levels >= 10): byte-wide SMEM
     layout with a real hash-chain match finder — head_ref[h] holds the most
     recent position+1 for bucket h and chain_ref[p] the previous same-bucket
@@ -1020,7 +1030,15 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
     step is the measured-cheap shape on the scalar core: ~15 ops/link when
     the probe misses, a zero-trip extension loop instead of a lax.cond).
     Same stream semantics as _encode_kernel_bw (window prefix via n_ref,
-    incompressible flag, wild emits with room guards)."""
+    incompressible flag, wild emits with room guards).
+
+    u16chain=True is the SMEM-compressed variant for full-window
+    linked/dict calls (VERDICT r4 next-#5): the chain stores u16 DELTAS
+    to the previous same-bucket position, two per i32 element (halving
+    the array that kept the 64 KiB-window call out of budget), with a
+    2^14 head. Delta 0 terminates a chain (distances beyond 65535 are
+    outside the LZ4 window anyway). Costs ~2 extra ops per link read and
+    per insert (RMW packing)."""
     DT = c_ref.shape[0]
     OT = o_ref.shape[0]
     n = n_ref[0]
@@ -1028,9 +1046,10 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
     first = n_ref[2]
     end = base + n
 
+    HL = hash_log or (DEEP_HASH_LOG_U16 if u16chain else DEEP_HASH_LOG)
+
     def hash4(u32):
-        return jax.lax.shift_right_logical(u32 * HASH_MUL,
-                                           32 - DEEP_HASH_LOG)
+        return jax.lax.shift_right_logical(u32 * HASH_MUL, 32 - HL)
 
     def rd_u32(p):
         return (c_ref[p] | (c_ref[p + 1] << 8) | (c_ref[p + 2] << 16)
@@ -1043,12 +1062,35 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
             head_ref[b + k] = 0
         return 0
 
-    jax.lax.fori_loop(0, (1 << DEEP_HASH_LOG) // 8, tinit, 0)
+    jax.lax.fori_loop(0, (1 << HL) // 8, tinit, 0)
 
-    def insert_u(p, u):
-        h = hash4(u)
-        chain_ref[p] = head_ref[h]
-        head_ref[h] = p + 1
+    if u16chain:
+        def chain_next(p):
+            """Previous same-bucket position, or a sentinel < any valid
+            position when the chain ends (delta 0)."""
+            d = (jax.lax.shift_right_logical(chain_ref[p >> 1],
+                                             (p & 1) * 16)) & 0xFFFF
+            return p - jnp.where(d == 0, jnp.int32(1 << 20), d)
+
+        def insert_u(p, u):
+            h = hash4(u)
+            prev = head_ref[h] - 1
+            d = p - prev
+            d = jnp.where((prev < 0) | (d > 0xFFFF), 0, d)
+            idx = p >> 1
+            sh = (p & 1) * 16
+            w = chain_ref[idx]
+            chain_ref[idx] = (w & (jnp.int32(-1) ^ (0xFFFF << sh))) \
+                | (d << sh)
+            head_ref[h] = p + 1
+    else:
+        def chain_next(p):
+            return chain_ref[p] - 1
+
+        def insert_u(p, u):
+            h = hash4(u)
+            chain_ref[p] = head_ref[h]
+            head_ref[h] = p + 1
 
     def insert(p):
         insert_u(p, rd_u32(p))
@@ -1103,11 +1145,11 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
                                       (jnp.int32(0), hit.astype(I32)))
             bp2 = jnp.where(l > bl, cand, bp)
             bl2 = jnp.maximum(bl, l)
-            return chain_ref[cand] - 1, bl2, bp2, t + 1
+            return chain_next(cand), bl2, bp2, t + 1
 
         _, bl, bp, _ = jax.lax.while_loop(
             w_cond, w_body,
-            (chain_ref[p] - 1, min_len, jnp.int32(-1), jnp.int32(0)))
+            (chain_next(p), min_len, jnp.int32(-1), jnp.int32(0)))
         return bl, bp
 
     def emit_len_ext(pos, value):
@@ -1284,7 +1326,8 @@ def _encode_kernel_deep(c_ref, n_ref, o_ref, total_ref, ok_ref,
 
 
 def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
-                      interpret: bool):
+                      interpret: bool, u16chain: bool = False,
+                      hash_log: int = 0):
     # lab knobs (trace-time env reads, fresh process per config — the
     # PLZ4_MID_DEPTH4 pattern): good-enough valve / lazy cap / insert
     # stride, for the on-chip deep-tier sweep (docs/perf_notes.md).
@@ -1296,10 +1339,12 @@ def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
     ins_step = max(1, int(os.environ.get("PLZ4_DEEP_INSSTEP", "1") or 1))
     probe2 = bool(os.environ.get("PLZ4_DEEP_PROBE2"))
     ci = combined_u8.astype(I32)
+    hl = hash_log or (DEEP_HASH_LOG_U16 if u16chain else DEEP_HASH_LOG)
+    chain_elems = (ci.shape[0] + 1) // 2 if u16chain else ci.shape[0]
     ob, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel_deep, tries=tries, suff=suff,
                           lazy_cap=lazy_cap, ins_step=ins_step,
-                          probe2=probe2),
+                          probe2=probe2, u16chain=u16chain, hash_log=hl),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
@@ -1314,8 +1359,8 @@ def _encode_call_deep(combined_u8, meta, cap: int, tries: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.SMEM((1 << DEEP_HASH_LOG,), I32),
-                        pltpu.SMEM((ci.shape[0],), I32)],
+        scratch_shapes=[pltpu.SMEM((1 << hl,), I32),
+                        pltpu.SMEM((chain_elems,), I32)],
         interpret=interpret,
     )(ci, meta)
     return ob.astype(jnp.uint8), total[0], ok[0] != 0
@@ -1342,14 +1387,33 @@ def encode_block_pallas_deep(data: jnp.ndarray, n: jnp.ndarray,
 def encode_block_pallas_deep_dict(data: jnp.ndarray, n: jnp.ndarray,
                                   dict_buf: jnp.ndarray, dlen: jnp.ndarray,
                                   interpret: bool = False, tries: int = 16):
-    """Deep-tier encode with a window prefix. The device's standard 64 KiB
-    window + 64 KiB block exceeds the chain-array budget, so full-size
-    linked/dict calls take the depth-4 path; small windows fit."""
+    """Deep-tier encode with a window prefix. Small windows run the full
+    i32-chain kernel; the device's standard 64 KiB window + 64 KiB block
+    exceeds that budget and runs the u16-delta-chain variant with the
+    window truncated to its last 32 KiB (VERDICT r4 next-#5: the real
+    hash-chain finder instead of the old depth-4 fallback — full chain
+    depth, half cross-block reach; reference: LZ4HC_InsertAndGetWiderMatch
+    searches its dict ctx the same way, clz4/lz4hc.c:885). Only calls that
+    exceed even that budget fall back to depth-4."""
     N = data.shape[0]
     D = dict_buf.shape[0]
     assert N % 4 == 0 and D % 4 == 0
     CAP = (N + N // 255 + 64 + 3) & ~3
     if not _deep_fits(D + N + 8, CAP):
+        DU = 32768
+        if D > DU:
+            dict_u = jax.lax.slice_in_dim(dict_buf, D - DU, D)
+            dlen_u = jnp.minimum(dlen.astype(I32), DU)
+        else:
+            dict_u, dlen_u = dict_buf, dlen
+        DUeff = dict_u.shape[0]
+        if _deep_fits_u16(DUeff + N + 8, CAP):
+            combined = jnp.concatenate(
+                [dict_u, data, jnp.zeros((8,), dtype=data.dtype)])
+            meta = jnp.stack([n.astype(I32), jnp.int32(DUeff),
+                              jnp.int32(DUeff) - dlen_u.astype(I32)])
+            return _encode_call_deep(combined, meta, CAP, tries, interpret,
+                                     u16chain=True)
         return encode_block_pallas_mid_dict(data, n, dict_buf, dlen,
                                             interpret=interpret,
                                             depth4=True)

@@ -72,7 +72,9 @@ class Options:
     # -0.6..-7.5% size for ~-19% speed), and levels >= 10 the deep
     # hash-chain finder with lazy matching (walk budget 8/16/32 at
     # 10/11/12) — within ~1.5% of native L9 ratio on the bench corpus
-    # at ~12-15 MB/s per chip. Requesting backend="device", level=12
+    # at ~12-15 MB/s per chip (dict/linked calls at the full 64 KiB
+    # window run the u16-delta-chain variant: full chain depth, window
+    # truncated to 32 KiB). Requesting backend="device", level=12
     # buys the deep-tier ratio at device throughput — a stated trade
     # (pinned by test_device_backend.py::test_device_level_mapping),
     # not native-L12 parity everywhere. Use backend="native" when

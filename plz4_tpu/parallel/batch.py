@@ -58,8 +58,8 @@ def dispatch_encode_dict(a, l, da, dl, level: int):
             return encode_pallas.encode_batch_pallas_mid_dict(
                 a, l, da, dl, depth4=level >= 8)
         # hash-chain finder + lazy matching (fourth tier); the 64 KiB-
-        # window dict path exceeds the chain-array SMEM budget and falls
-        # back to depth-4 inside the wrapper
+        # window dict path runs the u16-delta-chain variant (full chain
+        # depth, window truncated to 32 KiB) inside the wrapper
         return encode_pallas.encode_batch_pallas_deep_dict(
             a, l, da, dl, tries=_DEEP_TRIES.get(level, 32))
     return encode_jax.encode_batch_dict(a, l, da, dl, level=level)

@@ -91,8 +91,11 @@ def encode_large_begin(blocks, block_size: int, level: int = 1,
         return small_pending
 
     mesh = mesh_mod.active_mesh()
-    B = mesh_mod.pad_batch_for_mesh(len(large_idx), mesh)
-    K = max((len(blocks[i]) + CHUNK - 1) // CHUNK for i in large_idx)
+    # pow2 batch + BD-class chunk count: one compiled shape per frame
+    # config (tail batches/blocks reuse it; empty chunk rows are ~free)
+    B = mesh_mod.pad_batch_for_mesh(batch_mod._pow2(len(large_idx)), mesh)
+    K = max(block_size,
+            max(len(blocks[i]) for i in large_idx)) // CHUNK
     arr, arr_raw = batch_mod._stage((B, K, CHUNK))
     lens, lens_raw = batch_mod._stage((B, K), np.int32)
     d0, d0_raw = batch_mod._stage((B, CHUNK))
@@ -197,8 +200,12 @@ def decode_large_begin(stored, block_size: int, dict_=None, checksums=None):
             large = []
         else:
             mesh = mesh_mod.active_mesh()
-            B = mesh_mod.pad_batch_for_mesh(len(large), mesh)
-            K = max(len(recs) for _, recs in large)
+            # pow2 batch + BD-class record count: one compiled scan shape
+            # per frame config (padding records are no-op decodes)
+            B = mesh_mod.pad_batch_for_mesh(
+                batch_mod._pow2(len(large)), mesh)
+            K = max(max(len(recs) for _, recs in large),
+                    block_size // CHUNK + 1)
             rows, rows_raw = batch_mod._stage((B, K, CHUNK_IN))
             metas, metas_raw = batch_mod._stage((B, K, 7), np.int32)
             win0s, win0s_raw = batch_mod._stage((B, CHUNK))

@@ -450,3 +450,49 @@ def test_deep_kernel_oversize_fallback():
                           np.asarray(o4)[: int(t4)])
     assert native.decompress(
         np.asarray(od)[: int(td)].tobytes(), len(data)) == data
+
+
+def test_deep_kernel_u16_chain_variant():
+    """The u16-delta-chain deep variant (full-window dict calls,
+    VERDICT r4 next-#5): identical stream semantics to the i32 chain;
+    the 64 KiB-window + 64 KiB-block footprint fits its budget while the
+    i32 chain's does not. On-chip quality/speed in BASELINE.md; the
+    bench.py gate asserts it beats depth-4 on the live chip."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plz4_tpu.ops.encode_pallas import (_deep_fits, _deep_fits_u16,
+                                            _encode_call_deep)
+
+    # routing arithmetic: the production shape takes the u16 path
+    N = 65536
+    CAP = (N + N // 255 + 64 + 3) & ~3
+    assert not _deep_fits(65536 + N + 8, CAP)
+    assert _deep_fits_u16(32768 + N + 8, CAP)
+
+    for n, dl in ((4096, 2048), (3000, 0), (5000, 4096)):
+        data = make_compressible(n, seed=n)
+        dict_ = make_compressible(dl, seed=n + 1) if dl else b""
+        Np = (n + 3) & ~3
+        D = max(4, (dl + 3) & ~3)
+        buf = np.zeros(Np, np.uint8)
+        buf[:n] = np.frombuffer(data, np.uint8)
+        dbuf = np.zeros(D, np.uint8)
+        if dl:
+            dbuf[D - dl:] = np.frombuffer(dict_, np.uint8)
+        cap = (Np + Np // 255 + 64 + 3) & ~3
+        combined = jnp.concatenate([jnp.asarray(dbuf), jnp.asarray(buf),
+                                    jnp.zeros((8,), jnp.uint8)])
+        meta = jnp.stack([jnp.int32(n), jnp.int32(D), jnp.int32(D - dl)])
+        outs = {}
+        for u16 in (False, True):
+            o, t, ok = _encode_call_deep(combined, meta, cap, 16,
+                                         interpret=True, u16chain=u16)
+            assert bool(ok), (n, dl, u16)
+            comp = np.asarray(o)[: int(t)].tobytes()
+            assert native.decompress(
+                comp, n, dict_=dict_ if dl else None) == data, (n, dl, u16)
+            outs[u16] = comp
+        # same chain semantics (hash log differs but these sizes collide
+        # identically): byte-identical streams
+        assert outs[False] == outs[True], (n, dl)
