@@ -691,7 +691,41 @@ def _decode_record(row, meta, win, interpret: bool):
     int32 (lz4r_chunk_split layout + dlen in meta[1]), win (C,) uint8
     window (the previous record's output, right-aligned). The record
     output span equals the window size (C = CHUNK in production; tests
-    use small C with offset-bounded streams)."""
+    use small C with offset-bounded streams).
+
+    Fast path: the byte-wide record kernel (fast straight-line tiers,
+    window-aware careful tail) whenever input + window + output fit the
+    SMEM element budget — true for the production CHUNK_IN/CHUNK shapes;
+    the packed-word strict=False dict kernel is the fallback."""
+    CIN = row.shape[0]
+    W = win.shape[0]
+    if CIN + 8 + 2 * W + 16 + 8 <= 230 * 1024:
+        small_g2 = int(os.environ.get("PLZ4_DEC_SMALLG2", "4"))
+        if small_g2 not in (2, 4, 8):
+            small_g2 = 4
+        ci = jnp.concatenate(
+            [row, jnp.zeros((8,), row.dtype)]).astype(I32)
+        ob, n_out, ok = pl.pallas_call(
+            functools.partial(_decode_kernel_bw_rec, small_g2=small_g2),
+            out_shape=(
+                jax.ShapeDtypeStruct((W + 16,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+                jax.ShapeDtypeStruct((1,), I32),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[pltpu.SMEM((8,), I32)],
+            interpret=interpret,
+        )(ci, meta, win.astype(I32))
+        return ob[:W].astype(jnp.uint8), n_out[0], ok[0]
     cw = pack_words(jnp.concatenate([row, jnp.zeros((8,), row.dtype)]))
     dw = pack_words(win)
     ow, n_out, ok = pl.pallas_call(
@@ -745,6 +779,313 @@ def decode_chunks_batch_pallas(rows, metas, win0s, interpret: bool = False):
     kernels; see decode_batch_pallas for why not vmap)."""
     fn = functools.partial(decode_chunks_pallas, interpret=interpret)
     return jax.lax.map(lambda args: fn(*args), (rows, metas, win0s))
+
+
+def _decode_kernel_bw_rec(c_ref, meta_ref, win_ref, o_ref, n_out_ref,
+                          ok_ref, wid_ref, small_g2: int = 4):
+    """Byte-wide CARRY-RECORD decode (large-block record scan): the
+    byte-wide kernel's two-regime structure (fast straight-line tiers +
+    careful tail; see _decode_kernel_bw) extended with the record
+    semantics of the packed _decode_dict_kernel strict=False mode —
+    meta = [clen, dlen, pre_lit, pre_skip, pre_moff, pre_mlen, out_len],
+    prologue carries, literal/match copies clamped at out_len, and
+    match sources reaching before the record start read win_ref (the
+    previous record's output / frame dictionary, right-aligned).
+
+    Fast tiers additionally gate on the match offset staying in-record
+    (off <= op): window-reaching matches take the careful path with a
+    generalized window-aware copier. Budget: CHUNK_IN + window + output
+    byte-wide = ~215 Ki elements (no vals variant)."""
+    C = c_ref.shape[0]
+    W = win_ref.shape[0]
+    NT = o_ref.shape[0]
+    clen = meta_ref[0]
+    dlen = meta_ref[1]
+    out_len = meta_ref[6]
+
+    for _e, _v in enumerate((8, 8, 8, 9, 8, 10, 12, 14)):
+        wid_ref[_e] = _v
+
+    def widen(eff):
+        return jnp.where(eff >= 8, eff, wid_ref[eff & 7])
+
+    def read_varint(ip, base):
+        def vc(s):
+            return s[2] == 255
+
+        def vb(s):
+            t, p, _ = s
+            b = c_ref[jnp.minimum(p, C - 1)]
+            return t + b, p + 1, b
+
+        t, p, _ = jax.lax.while_loop(vc, vb, (base, ip, jnp.int32(255)))
+        return t, p
+
+    def copy_match_bw(op, off, m_n):
+        """Window-aware match copy: the window segment (sources before
+        the record start) copies 8-wide from win_ref; the in-record
+        remainder uses the serial-8 prologue + widened groups (m_fast
+        scheme). Callers guarantee op + m_n <= out_len and off <= op +
+        dlen when m_n > 0."""
+        n_win = jnp.clip(off - op, 0, m_n)
+
+        def from_win():
+            # source byte t of the window segment = win[W - (off-op) + t]
+            s0 = W - (off - op)
+
+            def wb(t, _):
+                s = s0 + t * 8
+                d = op + t * 8
+                # wild reads clipped at the window end (dead bytes are
+                # overwritten by the in-record remainder below)
+                o_ref[d] = win_ref[jnp.minimum(s, W - 1)]
+                o_ref[d + 1] = win_ref[jnp.minimum(s + 1, W - 1)]
+                o_ref[d + 2] = win_ref[jnp.minimum(s + 2, W - 1)]
+                o_ref[d + 3] = win_ref[jnp.minimum(s + 3, W - 1)]
+                o_ref[d + 4] = win_ref[jnp.minimum(s + 4, W - 1)]
+                o_ref[d + 5] = win_ref[jnp.minimum(s + 5, W - 1)]
+                o_ref[d + 6] = win_ref[jnp.minimum(s + 6, W - 1)]
+                o_ref[d + 7] = win_ref[jnp.minimum(s + 7, W - 1)]
+                return 0
+
+            jax.lax.fori_loop(0, (n_win + 7) >> 3, wb, 0)
+
+        jax.lax.cond(n_win > 0, from_win, lambda: None)
+        rem = m_n - n_win
+        op2 = op + n_win  # in-record source index starts at op2 - off >= 0
+
+        def in_rec():
+            eff = jnp.minimum(off, op2)  # off <= op2 unless rem straddles
+            eff = jnp.maximum(eff, 1)
+            src = op2 - eff
+            for k in range(8):
+                o_ref[op2 + k] = o_ref[jnp.maximum(src + k, 0)]
+            s2 = op2 - widen(eff)
+
+            def gb(t, _):
+                s = jnp.maximum(s2, 0) + t * 8
+                d = op2 + t * 8
+                o_ref[d] = o_ref[s]
+                o_ref[d + 1] = o_ref[s + 1]
+                o_ref[d + 2] = o_ref[s + 2]
+                o_ref[d + 3] = o_ref[s + 3]
+                o_ref[d + 4] = o_ref[s + 4]
+                o_ref[d + 5] = o_ref[s + 5]
+                o_ref[d + 6] = o_ref[s + 6]
+                o_ref[d + 7] = o_ref[s + 7]
+                return 0
+
+            jax.lax.fori_loop(
+                1, 1 + ((jnp.maximum(rem - 8, 0) + 7) >> 3), gb, 0)
+
+        # wild 8-wide writes stay under out_len + 15 < NT (16 slack);
+        # off == op2 case: source index 0 (the record's first byte)
+        jax.lax.cond(rem > 0, in_rec, lambda: None)
+
+    def careful_seq(ip, op, ok):
+        bad = ip >= clen
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        ip = ip + 1
+        lit = token >> 4
+
+        def lit_ext():
+            e0 = c_ref[jnp.minimum(ip, C - 1)]
+            return jax.lax.cond(
+                e0 == 255,
+                lambda: read_varint(ip, 15),
+                lambda: (15 + e0, ip + 1))
+
+        lit, ip = jax.lax.cond(lit == 15, lit_ext, lambda: (lit, ip))
+        lit_n = jnp.minimum(lit, out_len - op)
+        bad = bad | (lit_n < 0) | (ip + lit_n > clen)
+        lit_n = jnp.where(bad, 0, lit_n)
+        clip_l = lit_n < jnp.where(bad, lit_n, lit)
+
+        def l_fast():
+            def lb(t, _):
+                s = ip + t * 8
+                d = op + t * 8
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+                return 0
+
+            jax.lax.fori_loop(0, (lit_n + 7) >> 3, lb, 0)
+
+        def l_serial():
+            def lcopy(i, _):
+                o_ref[jnp.minimum(op + i, NT - 1)] = \
+                    c_ref[jnp.minimum(ip + i, C - 1)]
+                return 0
+
+            jax.lax.fori_loop(0, lit_n, lcopy, 0)
+
+        # 8-wide when the input has wild-read slack (output slack is
+        # structural: op + lit_n <= out_len and NT = out_cap + 16)
+        jax.lax.cond(ip + lit_n + 8 <= C, l_fast, l_serial)
+        ip = ip + lit_n
+        op = op + lit_n
+        fin = (ip >= clen) | bad | clip_l
+
+        def do_match(ip, op, bad):
+            off = c_ref[jnp.minimum(ip, C - 1)] | \
+                (c_ref[jnp.minimum(ip + 1, C - 1)] << 8)
+            ip = ip + 2
+            bad = bad | (ip > clen) | (off == 0)
+            mlr = token & 15
+
+            def m_ext():
+                e0 = c_ref[jnp.minimum(ip, C - 1)]
+                return jax.lax.cond(
+                    e0 == 255,
+                    lambda: read_varint(ip, 15),
+                    lambda: (15 + e0, ip + 1))
+
+            ml, ip = jax.lax.cond(mlr == 15, m_ext, lambda: (mlr, ip))
+            ml = ml + 4
+            bad = bad | (off > op + dlen)
+            m_n = jnp.minimum(ml, out_len - op)
+            m_n = jnp.where(bad, 0, m_n)
+            clip_m = m_n < jnp.where(bad, m_n, ml)
+            copy_match_bw(op, jnp.where(bad, jnp.int32(1), off), m_n)
+            return ip, op + m_n, bad, clip_m
+
+        ip, op, bad, clip_m = jax.lax.cond(
+            fin, lambda ip, op, bad: (ip, op, bad, jnp.bool_(False)),
+            do_match, ip, op, bad)
+        return (ip, op, ((ok != 0) & jnp.logical_not(bad)).astype(I32),
+                (fin | bad | clip_m).astype(I32))
+
+    def body(state):
+        ip, op, ok, _ = state
+        token = c_ref[jnp.minimum(ip, C - 1)]
+        lit = token >> 4
+        mlr = token & 15
+        mp = ip + 1 + lit
+        off = c_ref[jnp.minimum(mp, C - 1)] | \
+            (c_ref[jnp.minimum(mp + 1, C - 1)] << 8)
+        # fast tiers: identical to _decode_kernel_bw plus in-record source
+        # (off <= op) and the dynamic out_len bound — a fully-gated
+        # sequence can never cross the record end, so no clamping inside
+        gate_small = ((ip + 20 <= clen) & (op + 32 <= out_len) & (op >= 16)
+                      & (lit <= 8) & (mlr <= small_g2 + 4)
+                      & (off <= op) & (off > 0))
+
+        def fast_small():
+            s0 = ip + 1
+            d = op
+            o_ref[d] = c_ref[s0]
+            o_ref[d + 1] = c_ref[s0 + 1]
+            o_ref[d + 2] = c_ref[s0 + 2]
+            o_ref[d + 3] = c_ref[s0 + 3]
+            o_ref[d + 4] = c_ref[s0 + 4]
+            o_ref[d + 5] = c_ref[s0 + 5]
+            o_ref[d + 6] = c_ref[s0 + 6]
+            o_ref[d + 7] = c_ref[s0 + 7]
+            opl = op + lit
+            ml = mlr + 4
+            src = opl - off
+            for k in range(8):
+                o_ref[opl + k] = o_ref[src + k]
+            s2 = opl + 8 - widen(off)
+            d2 = opl + 8
+            o_ref[d2] = o_ref[s2]
+            o_ref[d2 + 1] = o_ref[s2 + 1]
+            if small_g2 >= 4:
+                o_ref[d2 + 2] = o_ref[s2 + 2]
+                o_ref[d2 + 3] = o_ref[s2 + 3]
+            if small_g2 >= 8:
+                o_ref[d2 + 4] = o_ref[s2 + 4]
+                o_ref[d2 + 5] = o_ref[s2 + 5]
+                o_ref[d2 + 6] = o_ref[s2 + 6]
+                o_ref[d2 + 7] = o_ref[s2 + 7]
+            return (mp + 2, opl + ml, ok, jnp.int32(0))
+
+        fast_gate = ((ip + 20 <= clen) & (op + 48 <= out_len) & (op >= 16)
+                     & (lit != 15) & (mlr != 15) & (mp + 2 <= clen)
+                     & (off <= op) & (off > 0))
+
+        def fast_seq():
+            s0 = ip + 1
+            for g in (0, 1):
+                s = s0 + g * 8 if g else s0
+                d = op + g * 8 if g else op
+                o_ref[d] = c_ref[s]
+                o_ref[d + 1] = c_ref[s + 1]
+                o_ref[d + 2] = c_ref[s + 2]
+                o_ref[d + 3] = c_ref[s + 3]
+                o_ref[d + 4] = c_ref[s + 4]
+                o_ref[d + 5] = c_ref[s + 5]
+                o_ref[d + 6] = c_ref[s + 6]
+                o_ref[d + 7] = c_ref[s + 7]
+            opl = op + lit
+            ml = mlr + 4
+            src = opl - off
+            for k in range(8):
+                o_ref[opl + k] = o_ref[src + k]
+            s2 = opl - widen(off)
+            for g in (1, 2):
+                s = s2 + g * 8
+                d = opl + g * 8
+                o_ref[d] = o_ref[s]
+                o_ref[d + 1] = o_ref[s + 1]
+                o_ref[d + 2] = o_ref[s + 2]
+                o_ref[d + 3] = o_ref[s + 3]
+                o_ref[d + 4] = o_ref[s + 4]
+                o_ref[d + 5] = o_ref[s + 5]
+                o_ref[d + 6] = o_ref[s + 6]
+                o_ref[d + 7] = o_ref[s + 7]
+            return (mp + 2, opl + ml, ok, jnp.int32(0))
+
+        return jax.lax.cond(
+            gate_small, fast_small,
+            lambda: jax.lax.cond(fast_gate, fast_seq,
+                                 lambda: careful_seq(ip, op, ok)))
+
+    # ---- prologue: carried literals, header skip, carried match ---------
+    pre_lit = meta_ref[2]
+    pre_skip = meta_ref[3]
+    pre_moff = meta_ref[4]
+    pre_mlen = meta_ref[5]
+    bad0 = ((pre_lit > clen) | (pre_lit + pre_mlen > out_len)
+            | ((pre_mlen > 0) & (pre_moff > pre_lit + dlen))
+            | (pre_lit < 0) | (pre_mlen < 0))
+    p_lit = jnp.where(bad0, 0, pre_lit)
+
+    def pro_lit():
+        def lb(t, _):
+            s = t * 8
+            o_ref[s] = c_ref[s]
+            o_ref[s + 1] = c_ref[s + 1]
+            o_ref[s + 2] = c_ref[s + 2]
+            o_ref[s + 3] = c_ref[s + 3]
+            o_ref[s + 4] = c_ref[s + 4]
+            o_ref[s + 5] = c_ref[s + 5]
+            o_ref[s + 6] = c_ref[s + 6]
+            o_ref[s + 7] = c_ref[s + 7]
+            return 0
+
+        jax.lax.fori_loop(0, (p_lit + 7) >> 3, lb, 0)
+
+    jax.lax.cond(p_lit > 0, pro_lit, lambda: None)
+    p_m = jnp.where(bad0, 0, pre_mlen)
+    copy_match_bw(p_lit, jnp.where(bad0, jnp.int32(1), pre_moff), p_m)
+    ip0 = p_lit + pre_skip
+    op0 = p_lit + p_m
+    bad0 = bad0 | (ip0 > clen)
+    ok0 = jnp.logical_not(bad0).astype(I32)
+    done0 = (bad0 | (ip0 >= clen)).astype(I32)
+
+    ip, op, ok, _ = jax.lax.while_loop(
+        lambda s: s[3] == 0, body, (ip0, op0, ok0, done0))
+    ok = (ok != 0) & (ip == clen)
+    n_out_ref[0] = op
+    ok_ref[0] = ok.astype(I32)
 
 
 def _decode_kernel_bw(*refs, vals: bool = False, small_g2: int = 4):
