@@ -395,7 +395,8 @@ def _encode_kernel(dw_ref, n_ref, ow_ref, total_ref, ok_ref, tab_ref,
 
 
 def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False,
-                      hashes: bool = False, depth4: bool = False):
+                      hashes: bool = False, depth4: bool = False,
+                      wstride: int = 1):
     """Byte-wide encode: one byte per int32 SMEM element. Byte loads are
     single ops and constant offsets from one dynamic base fold into the
     memory op (measured: tools/tpu_kernel_lab.py addrfold), so the hash
@@ -468,8 +469,12 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False,
 
     jax.lax.fori_loop(0, (1 << HL) // 8, tinit, 0)
 
-    # ---- window preload (reference: LZ4_loadDict analog) ----------------
-    def wload(p, _):
+    # ---- window preload (reference: LZ4_loadDict analog). wstride > 1
+    # seeds every wstride-th window position: the preload is the dominant
+    # fixed cost of chunked large-block encode (64 Ki inserts per chunk);
+    # the stride trades window candidate density for it ------------------
+    def wload(t, _):
+        p = first + t * wstride
         u = rd_u32(p)
         h = hash_at(p, u)
         if mid:
@@ -482,7 +487,7 @@ def _encode_kernel_bw(*refs, mid: bool = False, vals: bool = False,
         tab_ref[h] = p + 1
         return 0
 
-    jax.lax.fori_loop(first, base, wload, 0)
+    jax.lax.fori_loop(0, (base - first + wstride - 1) // wstride, wload, 0)
 
     mflimit = end - 12
     matchlimit = end - 5
@@ -734,7 +739,8 @@ def _bw_fits(n_in: int, cap: int, mid: bool, vals: bool = False,
 
 
 def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
-                    interpret: bool, depth4: bool = False):
+                    interpret: bool, depth4: bool = False,
+                    wstride: int = 1):
     """Shared pallas_call for the byte-wide encode kernel. Enables the
     precomputed-word-table variant (1 SMEM load per u32 read in the scan
     instead of 4 loads + 3 ors) whenever the extra input-sized operand
@@ -767,9 +773,11 @@ def _encode_call_bw(combined_u8, meta, cap: int, mid: bool,
     # switch forces it on for lab A/Bs at any level
     depth4 = mid and (depth4 or bool(os.environ.get("PLZ4_MID_DEPTH4")))
     n_tables = 4 if depth4 else 2
+    wstride = max(1, int(os.environ.get("PLZ4_ENC_WSTRIDE", "0") or 0)
+                  ) if os.environ.get("PLZ4_ENC_WSTRIDE") else wstride
     ob, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel_bw, mid=mid, vals=vals,
-                          hashes=hashes, depth4=depth4),
+                          hashes=hashes, depth4=depth4, wstride=wstride),
         out_shape=(
             jax.ShapeDtypeStruct((cap,), I32),
             jax.ShapeDtypeStruct((1,), I32),
@@ -830,10 +838,10 @@ def encode_block_pallas(data: jnp.ndarray, n: jnp.ndarray,
     return unpack_words(ow), total[0], ok[0] != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "wstride"))
 def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
                              dict_buf: jnp.ndarray, dlen: jnp.ndarray,
-                             interpret: bool = False):
+                             interpret: bool = False, wstride: int = 1):
     """Encode one block with a window prefix (linked mode / dictionary).
 
     dict_buf: (D,) uint8 right-aligned window, D % 4 == 0. The combined
@@ -852,7 +860,7 @@ def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
                       jnp.int32(D) - dlen.astype(I32)])
     if _bw_fits(D + N + 8, CAP, mid=False):
         return _encode_call_bw(combined, meta, CAP, mid=False,
-                               interpret=interpret)
+                               interpret=interpret, wstride=wstride)
     dw = pack_words(combined)
     ow, total, ok = pl.pallas_call(
         _encode_kernel,
@@ -877,11 +885,14 @@ def encode_block_pallas_dict(data: jnp.ndarray, n: jnp.ndarray,
     return unpack_words(ow), total[0], ok[0] != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "wstride"))
 def encode_batch_pallas_dict(data, lens, dicts, dlens,
-                             interpret: bool = False):
-    """Batch encode with per-block windows: dicts (B, D) right-aligned."""
-    fn = functools.partial(encode_block_pallas_dict, interpret=interpret)
+                             interpret: bool = False, wstride: int = 1):
+    """Batch encode with per-block windows: dicts (B, D) right-aligned.
+    wstride > 1 seeds every wstride-th window position (the large-block
+    chunk path's measured trade: docs/perf_notes.md round-5)."""
+    fn = functools.partial(encode_block_pallas_dict, interpret=interpret,
+                           wstride=wstride)
     return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
@@ -935,11 +946,12 @@ def encode_block_pallas_mid(data: jnp.ndarray, n: jnp.ndarray,
     return unpack_words(ow), total[0], ok[0] != 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "depth4", "wstride"))
 def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
                                  dict_buf: jnp.ndarray, dlen: jnp.ndarray,
                                  interpret: bool = False,
-                                 depth4: bool = False):
+                                 depth4: bool = False, wstride: int = 1):
     """Mid-mode encode with a window prefix (linked/dict device levels >= 3)."""
     N = data.shape[0]
     D = dict_buf.shape[0]
@@ -951,7 +963,8 @@ def encode_block_pallas_mid_dict(data: jnp.ndarray, n: jnp.ndarray,
                       jnp.int32(D) - dlen.astype(I32)])
     if _bw_fits(D + N + 8, CAP, mid=True, depth4=depth4):
         return _encode_call_bw(combined, meta, CAP, mid=True,
-                               interpret=interpret, depth4=depth4)
+                               interpret=interpret, depth4=depth4,
+                               wstride=wstride)
     dw = pack_words(combined)
     ow, total, ok = pl.pallas_call(
         functools.partial(_encode_kernel, mid=True),
@@ -984,12 +997,14 @@ def encode_batch_pallas_mid(data, lens, interpret: bool = False,
     return jax.lax.map(lambda args: fn(*args), (data, lens))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "depth4"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "depth4", "wstride"))
 def encode_batch_pallas_mid_dict(data, lens, dicts, dlens,
                                  interpret: bool = False,
-                                 depth4: bool = False):
+                                 depth4: bool = False, wstride: int = 1):
     fn = functools.partial(encode_block_pallas_mid_dict,
-                           interpret=interpret, depth4=depth4)
+                           interpret=interpret, depth4=depth4,
+                           wstride=wstride)
     return jax.lax.map(lambda args: fn(*args), (data, lens, dicts, dlens))
 
 
