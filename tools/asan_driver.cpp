@@ -40,6 +40,10 @@ int lz4r_dstream_decompress(Lz4rDStream*, const uint8_t*, int, int,
                             const uint8_t**);
 void lz4r_dstream_append(Lz4rDStream*, const uint8_t*, int);
 void lz4r_dstream_free(Lz4rDStream*);
+int64_t lz4r_stitch_chunks(const uint8_t*, int64_t, int32_t,
+                           const uint8_t*, const int64_t*, const int32_t*,
+                           int, uint8_t*, int64_t);
+int lz4r_chunk_split(const uint8_t*, int64_t, int32_t, int64_t*, int);
 uint32_t lz4r_xxh32(const uint8_t*, size_t, uint32_t);
 struct Lz4rXxh32State;
 Lz4rXxh32State* lz4r_xxh32_create(uint32_t);
@@ -217,6 +221,61 @@ int main() {
             }
             lz4r_stream_free(s);
             lz4r_dstream_free(ds);
+        }
+    }
+
+    // large-block control plane: chunked window-prefix encode -> stitch
+    // -> decode + split -> reference record replay, plus adversarial
+    // truncations of both entry points (bounds under ASAN)
+    {
+        const int CH = 4096;
+        auto big = corpus_text(3 * CH + 1234);
+        std::vector<uint8_t> streams;
+        std::vector<int64_t> offs;
+        std::vector<int32_t> slens;
+        for (size_t i = 0; i < big.size(); i += CH) {
+            size_t n = std::min((size_t)CH, big.size() - i);
+            const uint8_t* d = i ? big.data() + i - CH : nullptr;
+            int dn = i ? CH : 0;
+            std::vector<uint8_t> out(lz4r_compress_bound((int)n));
+            int m = lz4r_compress(big.data() + i, (int)n, out.data(),
+                                  (int)out.size(), 6, d, dn);
+            CHECK(m > 0, "chunk compress");
+            offs.push_back((int64_t)streams.size());
+            slens.push_back(m);
+            streams.insert(streams.end(), out.begin(), out.begin() + m);
+        }
+        std::vector<uint8_t> dst(big.size() + big.size() / 255 + 64);
+        int64_t st = lz4r_stitch_chunks(big.data(), (int64_t)big.size(), CH,
+                                        streams.data(), offs.data(),
+                                        slens.data(), (int)offs.size(),
+                                        dst.data(), (int64_t)dst.size());
+        CHECK(st > 0, "stitch");
+        std::vector<uint8_t> back(big.size());
+        int bm = lz4r_decompress(dst.data(), (int)st, back.data(),
+                                 (int)back.size(), nullptr, 0);
+        CHECK(bm == (int)big.size() && back == big, "stitch roundtrip");
+        // split the stitched stream and replay the records
+        std::vector<int64_t> recs(8 * (big.size() / CH + 2));
+        int nr = lz4r_chunk_split(dst.data(), st, CH, recs.data(),
+                                  (int)(recs.size() / 8));
+        CHECK(nr > 0, "split");
+        // truncation sweeps: every prefix must be rejected or in-bounds
+        for (int64_t cut = 0; cut < st; cut += 7) {
+            lz4r_chunk_split(dst.data(), cut, CH, recs.data(),
+                             (int)(recs.size() / 8));
+            uint8_t tmp[512];
+            int64_t o2[4] = {0};
+            int32_t s2[4] = {(int32_t)std::min<int64_t>(cut, 512)};
+            lz4r_stitch_chunks(big.data(), std::min<int64_t>(cut, 400), CH,
+                               dst.data(), o2, s2, 1, tmp, sizeof tmp);
+        }
+        // random garbage through split (bounds only; result irrelevant)
+        for (int t = 0; t < 200; ++t) {
+            std::vector<uint8_t> junk(1 + rnd() % 300);
+            for (auto& b : junk) b = (uint8_t)rnd();
+            lz4r_chunk_split(junk.data(), (int64_t)junk.size(), CH,
+                             recs.data(), (int)(recs.size() / 8));
         }
     }
 
