@@ -494,8 +494,12 @@ struct ChainFinder {
             // (superlinear pass-1 worst case). The sweep is nearest-first
             // and its value (small-offset near repeats) concentrates close
             // to j, so clamp the scanned span — read32s, not just verified
-            // hits, are now bounded per call.
-            uint32_t zspan = (uint32_t)std::max(512, budget * 8);
+            // hits, are now bounded per call. The floor is sized by the
+            // 2000-seed adversarial sweep: 512 cost L10 up to 89 B / 2.1%
+            // on 5 seeds (beyond the documented max(10 B, 1%) bound);
+            // 8192 restores the r4 residual profile while still bounding
+            // the adversarial re-sweep at ~8 µs/call.
+            uint32_t zspan = (uint32_t)std::max(8192, budget * 32);
             if (j - zlo > zspan) zlo = j - zspan;
             uint32_t first4 = read32(jp);
             int zbudget = budget;
@@ -2595,7 +2599,13 @@ int compress_opt(const uint8_t* wbase, const uint8_t* src, int src_size,
                 return compress_opt_t<int32_t>(wbase, src, src_size, dst,
                                                dst_cap, level);
             }
-            if (maxlag > 96 && level <= 10) {
+            // uniform < 16 separates the true pathology (period-2-16
+            // TILES with mutations: non-constant bytes, so near-zero
+            // uniform samples) from text + zero-run mixes, which also
+            // trip maxlag (runs hit every lag) but take the dense DP at
+            // 6-8 MB/s and tie upstream where hc-8 lost 17-89 B
+            // (2000-seed sweep, round 5)
+            if (maxlag > 96 && uniform < 16 && level <= 10) {
                 // Mutated short-period blocks (period 2-16 tiles with
                 // scattered mutations — their SAMPLED alphabet is tiny
                 // too, so this arm must run before the distinct check):
@@ -3196,7 +3206,7 @@ LZ4R_API int lz4r_dict_compress(Lz4rDictCtx* c, const uint8_t* src,
             for (int lag = 2; lag <= 16; ++lag)
                 if (laghit[lag] > maxlag) maxlag = laghit[lag];
             rundense = uniform > 64;
-            shortlag = maxlag > 96;
+            shortlag = maxlag > 96 && uniform < 16;  // see compress_opt
             tiny_alpha = distinct <= 16;
         }
         if (level <= 10 && !rundense) {

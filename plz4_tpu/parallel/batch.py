@@ -172,9 +172,10 @@ class Pending:
     async reader/writer overlap of staging and compute, SURVEY §2.2 —
     the round-2 device engine ran stage->dispatch->fetch serially)."""
 
-    def __init__(self, assemble, staging):
+    def __init__(self, assemble, staging, children=()):
         self._assemble = assemble
         self._staging = staging
+        self._children = tuple(children)
         self._result = None
         self._done = False
 
@@ -189,7 +190,10 @@ class Pending:
     def discard(self):
         """Abort path: return staging buffers without assembling (no
         device fetch). Used by engine shutdown so in-flight batches do
-        not orphan pool buffers."""
+        not orphan pool buffers. Child pendings (the large-block paths
+        split batches into sub-pendings) are discarded recursively."""
+        for c in self._children:
+            c.discard()
         if not self._done:
             self._release()
 

@@ -99,7 +99,13 @@ def test_batch_layer_efficiency_tracks_raw_kernel():
 
     rows = run()
     bad = [(n, k, b) for (n, k, b) in rows if b < k * TOL]
-    if bad:  # contended-host noise: one full re-measure before failing
+    for _retry in range(2):
+        if not bad:
+            break
+        # contended-host noise (5-40x on cold/unlucky iterations,
+        # docs/perf_notes.md): back off and fully re-measure before
+        # failing — a STRUCTURAL regression reproduces across retries
+        time.sleep(10)
         rows = run()
         bad = [(n, k, b) for (n, k, b) in rows if b < k * TOL]
     assert not bad, (

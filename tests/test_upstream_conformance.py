@@ -240,8 +240,9 @@ def test_size_contract_residual_bound():
     (2000 with PLZ4_FUZZ_FULL=2) of adversarial structured payloads at
     every opt level, each loss vs upstream is <= max(10 bytes, 1% of the
     upstream size) and at most 8% of (payload, level) trials lose at
-    all. Measured round 4 (coverage-extension sparse parse): 5.3% of
-    trials lose, worst 14 B / 0.40%, L9 near-zero (3 losses <= 3 B).
+    all. Measured round 5 (2000-seed tier, after the shortlag reroute
+    gained its uniform<16 discriminator): 5.2% of trials lose, worst
+    35 B / 0.15% abs and 13 B / 0.40% rel, L9 near-zero (8 losses).
     The relative arm exists for the run-dense-text class — see the
     KNOWN APPROXIMATION note in lz4r.cpp pass 1; knob sweeps recover
     under 20% of it, the rest is the carry-skip architecture trade.
