@@ -346,3 +346,41 @@ def test_large_blocks_on_mesh():
     stored = [(s, raw) for (s, raw) in res]
     for (s, raw), d in zip(stored, data):
         assert (s == d) if raw else (native.decompress(s, len(d)) == d)
+
+
+def test_device_mixed_frame_flush_skip_concat():
+    """A 1 MiB-BD device frame whose batch mixes multi-chunk blocks with
+    flush-forced small blocks, preceded by a skippable frame and followed
+    by a concatenated second frame — exercises the small/large partition
+    inside one device batch plus the frame-layer loop around it."""
+    import io
+
+    import plz4_tpu
+
+    a = mixed_payload(300000, seed=31)   # 1 large block (5 chunks)
+    b = mixed_payload(5000, seed=32)     # flush -> small block
+    c = mixed_payload(150000, seed=33)   # large again
+    buf = io.BytesIO()
+    plz4.write_skip_frame_header(buf, 7, 16)
+    buf.write(b"\x07" * 16)
+    w = plz4.Writer(buf, backend="device", level=1,
+                    block_size_idx=desc.BLOCK_IDX_1MB)
+    w.write(a)
+    w.flush()
+    w.write(b)
+    w.flush()
+    w.write(c)
+    w.close()
+    # concatenated second frame (native-written, same BD class)
+    buf.write(plz4.compress(mixed_payload(90000, seed=34), level=6,
+                            block_size_idx=desc.BLOCK_IDX_1MB))
+    blob = buf.getvalue()
+
+    skips = []
+    for backend in ("native", "device"):
+        r = plz4.Reader(io.BytesIO(blob), backend=backend,
+                        skip_callback=lambda rd, nib, sz:
+                        skips.append((nib, rd.read(sz) and None or sz)))
+        got = r.read()
+        r.close()
+        assert got == a + b + c + mixed_payload(90000, seed=34), backend
