@@ -2668,6 +2668,30 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
     const uint8_t* const iend = src + src_size;
     const uint8_t* const mflimit = iend - MFLIMIT;
     const uint8_t* const matchlimit = iend - LASTLITERALS;
+    // Tiny-alphabet bump (round-5 soak finding): upstream's level 2 is
+    // LZ4MID (dual 4+8-byte hash, k_clTable lz4hc.c:92-107); on <= 16
+    // distinct bytes (4-symbol soup, DNA-like) its 8-gram selectivity
+    // beat our 4-gram 2-attempt chain by up to 24% — the flooded 4-gram
+    // buckets need a deeper walk. Level-6 chain params win the class
+    // back (-4% vs upstream L2 on the 522 KB worst case) at a speed
+    // trade confined to this one adversarial class; 128 sampled read32s
+    // elsewhere.
+    if (level == 2 && src_size >= 4096) {
+        uint64_t seen[4] = {0, 0, 0, 0};
+        int stride = src_size / 128;
+        for (int t = 0; t < 128; ++t) {
+            uint32_t v = read32(src + (size_t)t * stride);
+            for (int b = 0; b < 4; ++b) {
+                uint8_t c = (uint8_t)(v >> (8 * b));
+                seen[c >> 6] |= 1ull << (c & 63);
+            }
+        }
+        int distinct = __builtin_popcountll(seen[0]) +
+                       __builtin_popcountll(seen[1]) +
+                       __builtin_popcountll(seen[2]) +
+                       __builtin_popcountll(seen[3]);
+        if (distinct <= 16) level = 6;
+    }
     const int attempts = hc_attempts_for_level(level);
 
     // Parse strategy (reference analog: LZ4HC_compress_hashChain,
