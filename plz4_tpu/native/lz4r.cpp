@@ -2677,20 +2677,28 @@ int compress_hc(const uint8_t* wbase, const uint8_t* src, int src_size,
     // trade confined to this one adversarial class; 128 sampled read32s
     // elsewhere.
     if (level == 2 && src_size >= 4096) {
-        uint64_t seen[4] = {0, 0, 0, 0};
+        // windowed: a tiny-alphabet REGION inside a mixed payload floods
+        // its buckets just the same (soak found an 11.5% loss on a
+        // 4-symbol + random concat whose global sample saw 256 distinct)
         int stride = src_size / 128;
-        for (int t = 0; t < 128; ++t) {
-            uint32_t v = read32(src + (size_t)t * stride);
-            for (int b = 0; b < 4; ++b) {
-                uint8_t c = (uint8_t)(v >> (8 * b));
-                seen[c >> 6] |= 1ull << (c & 63);
+        for (int w = 0; w < 8; ++w) {
+            uint64_t seen[4] = {0, 0, 0, 0};
+            for (int t = w * 16; t < (w + 1) * 16; ++t) {
+                uint32_t v = read32(src + (size_t)t * stride);
+                for (int b = 0; b < 4; ++b) {
+                    uint8_t c = (uint8_t)(v >> (8 * b));
+                    seen[c >> 6] |= 1ull << (c & 63);
+                }
+            }
+            int distinct = __builtin_popcountll(seen[0]) +
+                           __builtin_popcountll(seen[1]) +
+                           __builtin_popcountll(seen[2]) +
+                           __builtin_popcountll(seen[3]);
+            if (distinct <= 16) {
+                level = 6;
+                break;
             }
         }
-        int distinct = __builtin_popcountll(seen[0]) +
-                       __builtin_popcountll(seen[1]) +
-                       __builtin_popcountll(seen[2]) +
-                       __builtin_popcountll(seen[3]);
-        if (distinct <= 16) level = 6;
     }
     const int attempts = hc_attempts_for_level(level);
 
