@@ -66,15 +66,16 @@ class Options:
     dictionary: Optional[bytes] = None
     worker_pool: Optional[object] = None  # object with submit(fn) -> future
     # "native" | "device" | "auto". DEVICE LEVEL MAPPING: the device
-    # (TPU) backend has four parse qualities, not twelve — levels <= 2
-    # run the greedy kernel, levels 3-7 the depth-2 chain ("mid")
-    # kernel, levels 8-9 the depth-4 chain (two more candidate tables;
-    # -0.6..-7.5% size for ~-19% speed), and levels >= 10 the deep
-    # hash-chain finder with lazy matching (walk budget 8/16/32 at
-    # 10/11/12) — within ~1.5% of native L9 ratio on the bench corpus
-    # at ~12-15 MB/s per chip (dict/linked calls at the full 64 KiB
-    # window run the u16-delta-chain variant: full chain depth, window
-    # truncated to 32 KiB). Requesting backend="device", level=12
+    # (TPU) backend has four parse-quality families, not twelve levels —
+    # levels <= 2 run the greedy kernel, levels 3-7 the depth-2 chain
+    # ("mid") kernel, level 8 the depth-4 chain (two more candidate
+    # tables; -0.6..-7.5% size for ~-19% speed), and levels >= 9 the
+    # deep hash-chain finder with lazy matching (walk budget 2/8/16/32
+    # at 9/10/11/12; on-chip ratio 2.439/2.474/2.489/2.492 at
+    # 21.8/14.7/12.4/11.8 MB/s per chip vs native L12's 2.522;
+    # dict/linked calls at the full 64 KiB window run the
+    # u16-delta-chain variant: full chain depth, window truncated to
+    # 32 KiB). Requesting backend="device", level=12
     # buys the deep-tier ratio at device throughput — a stated trade
     # (pinned by test_device_backend.py::test_device_level_mapping),
     # not native-L12 parity everywhere. Use backend="native" when

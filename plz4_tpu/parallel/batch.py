@@ -40,7 +40,10 @@ def _use_pallas() -> bool:
 # of the reference's per-level attempt ladder (clz4/lz4hc.c k_clTable);
 # measured on chip at 14.7/12.4/11.8 MB/s per chip for ratio
 # 2.474/2.489/2.492 on the bench corpus (docs/perf_notes.md round-4)
-_DEEP_TRIES = {10: 8, 11: 16, 12: 32}
+# level 9 joins the deep family at a 2-link budget (round-5 A/B: 2.439
+# at 21.8 MB/s vs depth-4's 2.422 at 34.0 — a finer ladder rung between
+# the depth-4 tier and deep t8)
+_DEEP_TRIES = {9: 2, 10: 8, 11: 16, 12: 32}
 
 
 def dispatch_encode_dict(a, l, da, dl, level: int, wstride: int = 1):
@@ -55,9 +58,9 @@ def dispatch_encode_dict(a, l, da, dl, level: int, wstride: int = 1):
         if level <= 2:
             return encode_pallas.encode_batch_pallas_dict(
                 a, l, da, dl, wstride=wstride)
-        if level <= 9:
+        if level <= 8:
             # HC-class chain kernel: depth-2 at levels 3-7, depth-4 at
-            # 8-9 (the third device quality tier, VERDICT r3 #5)
+            # level 8 (the third device quality tier, VERDICT r3 #5)
             return encode_pallas.encode_batch_pallas_mid_dict(
                 a, l, da, dl, depth4=level >= 8, wstride=wstride)
         # hash-chain finder + lazy matching (fourth tier); the 64 KiB-
@@ -277,14 +280,14 @@ def encode_blocks_begin(blocks: list[bytes], block_size: int, level: int = 1,
             if level <= 2:
                 out, totals, compressible = \
                     encode_pallas.encode_batch_pallas(a, l)
-            elif level <= 9:
-                # HC-class chain kernel: depth-2 at levels 3-7, depth-4 at
-                # 8-9 (see encode_pallas mid mode)
+            elif level <= 8:
+                # HC-class chain kernel: depth-2 at levels 3-7, depth-4
+                # at level 8 (see encode_pallas mid mode)
                 out, totals, compressible = \
                     encode_pallas.encode_batch_pallas_mid(
                         a, l, depth4=level >= 8)
             else:
-                # deep tier (levels >= 10): hash-chain finder + lazy
+                # deep tier (levels >= 9): hash-chain finder + lazy
                 # matching, walk budget widening with the level (the
                 # device analog of the reference's per-level attempt
                 # ladder, clz4/lz4hc.c k_clTable)
